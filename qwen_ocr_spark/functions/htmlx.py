@@ -1,0 +1,311 @@
+"""HTML → blocks: stdlib-parser boilerplate stripper (the HTML path core).
+
+Replaces the reference's VLM text prompt (/root/reference/src/config.py:78-124)
+with a deterministic Readability/boilerpipe-style pass per BASELINE.json
+``north_star``: parse the DOM into block-level text units, measure text
+length and link-text length per block, mark page-chrome subtrees
+(nav/aside/header/footer/form), and let ``blocks.is_content`` keep or drop
+each block on text-density + link-density rules.
+
+stdlib ``html.parser`` only (lxml is not available in this environment);
+the parser is tolerant of unclosed tags the way browsers are for the subset
+our corpus uses.
+
+Tables are re-serialized as sanitized HTML ``<table>`` markup preserving
+rowspan/colspan (contract: /root/reference/src/config.py:94-99 — never pipe
+tables).  Figures come from ``<figure>``/``<img>``: caption from
+``<figcaption>`` or ``alt``; bbox from a ``data-bbox="x1,y1,x2,y2"``
+attribute (normalized 0-1000) when present, else from width/height
+attributes, else a fixed default box — deterministic either way so the area
+filter (/root/reference/src/models/document_job.py:203-227) is exercised.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from qwen_ocr_spark import config
+from qwen_ocr_spark.functions import blocks as bk
+from qwen_ocr_spark.functions import figures as figk
+
+# subtrees that never contribute content
+_SKIP_TAGS = {"script", "style", "noscript", "template", "svg", "iframe",
+              "button", "select", "option", "head"}
+# subtrees that mark page chrome (content inside needs the rescue rule)
+_CHROME_TAGS = {"nav", "aside", "header", "footer", "form"}
+# leaf block elements
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+_PARA_TAGS = {"p", "blockquote"}
+# elements that implicitly close an open implicit paragraph
+_FLUSH_TAGS = (
+    _HEADINGS.keys() | _PARA_TAGS
+    | {"div", "section", "article", "main", "ul", "ol", "li", "table",
+       "figure", "img", "pre", "br", "hr", "body"}
+    | _CHROME_TAGS
+)
+_TABLE_KEEP_TAGS = {"table", "thead", "tbody", "tfoot", "tr", "th", "td", "caption"}
+_TABLE_KEEP_ATTRS = {"rowspan", "colspan"}
+
+_DEFAULT_FIG_BBOX = (100, 100, 600, 500)  # used when no size info exists
+
+
+def _collapse(s: str) -> str:
+    return " ".join(s.split())
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[bk.Block] = []
+        self._skip = 0
+        self._chrome = 0
+        self._link = 0
+        # current text accumulation (paragraph-ish)
+        self._buf: list[str] = []
+        self._buf_links = 0
+        self._buf_total = 0
+        self._cur_kind: str = bk.PARA
+        self._cur_level = 0
+        self._explicit = 0  # inside an explicit <p>/<h*>/<pre> element
+        # list state
+        self._list_stack: list[bool] = []  # ordered flags
+        self._list_block: bk.Block | None = None
+        self._li_depth = 0
+        # table state
+        self._table_depth = 0
+        self._table_parts: list[str] = []
+        self._table_text: list[str] = []
+        self._table_chrome = False
+        # figure state
+        self._figure_depth = 0
+        self._fig_caption: str | None = None
+        self._fig_bbox: tuple | None = None
+        self._fig_type: str = "other"
+        self._in_figcaption = 0
+
+    # -- text buffering -------------------------------------------------
+    def _flush(self) -> None:
+        raw = "".join(self._buf)
+        # <pre> keeps verbatim whitespace; everything else is collapsed
+        text = raw.strip("\n") if self._cur_kind == bk.PRE else _collapse(raw)
+        if text:
+            self.blocks.append(bk.Block(
+                kind=self._cur_kind,
+                text=text,
+                level=self._cur_level,
+                link_chars=self._buf_links,
+                total_chars=self._buf_total,
+                in_chrome=self._chrome > 0,
+            ))
+        self._buf = []
+        self._buf_links = 0
+        self._buf_total = 0
+        self._cur_kind = bk.PARA
+        self._cur_level = 0
+
+    # -- tag handling ----------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        ad = dict(attrs)
+
+        if self._table_depth:
+            if tag in _TABLE_KEEP_TAGS:
+                kept = [(k, v) for k, v in attrs if k in _TABLE_KEEP_ATTRS]
+                attr_s = "".join(f' {k}="{v}"' for k, v in kept)
+                self._table_parts.append(f"<{tag}{attr_s}>")
+                if tag == "table":
+                    self._table_depth += 1
+            return
+
+        if tag in _FLUSH_TAGS:
+            self._flush()
+
+        if tag in _CHROME_TAGS:
+            self._chrome += 1
+        elif tag in _HEADINGS:
+            self._cur_kind = bk.HEADING
+            self._cur_level = _HEADINGS[tag]
+            self._explicit += 1
+        elif tag in _PARA_TAGS or tag == "pre":
+            self._cur_kind = bk.PRE if tag == "pre" else bk.PARA
+            self._explicit += 1
+        elif tag == "a":
+            self._link += 1
+        elif tag in ("ul", "ol"):
+            if self._list_block is None:
+                self._list_block = bk.Block(
+                    kind=bk.LIST, in_chrome=self._chrome > 0,
+                    ol_start=None,
+                )
+            if tag == "ol" and not self._list_stack:
+                start = ad.get("start")
+                if start is not None and str(start).lstrip("-").isdigit():
+                    self._list_block.ol_start = int(start)
+            self._list_stack.append(tag == "ol")
+        elif tag == "li":
+            self._li_depth = max(0, len(self._list_stack) - 1)
+        elif tag == "table":
+            self._table_depth = 1
+            self._table_parts = ["<table>"]
+            self._table_text = []
+            self._table_chrome = self._chrome > 0
+        elif tag == "figure":
+            self._figure_depth += 1
+            self._fig_caption = None
+            self._fig_bbox = None
+            self._fig_type = "other"
+        elif tag == "figcaption":
+            self._in_figcaption += 1
+        elif tag == "img":
+            self._handle_img(ad)
+        elif tag == "br":
+            self._buf.append(" ")
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "img":
+            self.handle_starttag(tag, attrs)
+        elif tag in ("br", "hr"):
+            self.handle_starttag(tag, attrs)
+
+    def _handle_img(self, ad: dict) -> None:
+        bbox = None
+        raw = ad.get("data-bbox")
+        if raw:
+            parts = [p.strip() for p in raw.split(",")]
+            if len(parts) == 4 and all(p.lstrip("-").isdigit() for p in parts):
+                bbox = tuple(int(p) for p in parts)
+        if bbox is None:
+            w, h = ad.get("width"), ad.get("height")
+            if w and h and str(w).isdigit() and str(h).isdigit():
+                bbox = (0, 0, min(int(w), 1000), min(int(h), 1000))
+        if bbox is None:
+            bbox = _DEFAULT_FIG_BBOX
+        etype = ad.get("data-element-type", "other")
+        if etype not in config.ELEMENT_TYPES:
+            etype = "other"
+        if self._figure_depth:
+            self._fig_bbox = bbox
+            self._fig_type = etype
+            if self._fig_caption is None and ad.get("alt"):
+                self._fig_caption = _collapse(ad["alt"])
+        else:
+            self._flush()
+            self.blocks.append(bk.Block(
+                kind=bk.FIGURE,
+                in_chrome=self._chrome > 0,
+                figure=figk.Figure(
+                    page_number=1, bbox=bbox,
+                    element_type=etype,
+                    caption=_collapse(ad["alt"]) if ad.get("alt") else None,
+                ),
+            ))
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if self._skip:
+            return
+
+        if self._table_depth:
+            if tag in _TABLE_KEEP_TAGS:
+                if tag == "table":
+                    self._table_depth -= 1
+                    if self._table_depth == 0:
+                        self._table_parts.append("</table>")
+                        self.blocks.append(bk.Block(
+                            kind=bk.TABLE,
+                            html="".join(self._table_parts),
+                            text=_collapse(" ".join(self._table_text)),
+                            in_chrome=self._table_chrome,
+                        ))
+                        return
+                self._table_parts.append(f"</{tag}>")
+            return
+
+        if tag in _CHROME_TAGS:
+            self._flush()
+            self._chrome = max(0, self._chrome - 1)
+        elif tag in _HEADINGS or tag in _PARA_TAGS or tag == "pre":
+            self._flush()
+            self._explicit = max(0, self._explicit - 1)
+        elif tag == "a":
+            self._link = max(0, self._link - 1)
+        elif tag == "li":
+            text = _collapse("".join(self._buf))
+            links = self._buf_links
+            self._buf = []
+            self._buf_links = 0
+            self._buf_total = 0
+            if text and self._list_block is not None:
+                ordered = self._list_stack[-1] if self._list_stack else False
+                self._list_block.items.append(bk.ListItem(
+                    text=text, ordered=ordered, depth=self._li_depth,
+                    link_chars=links,
+                ))
+        elif tag in ("ul", "ol"):
+            if self._list_stack:
+                self._list_stack.pop()
+            if not self._list_stack and self._list_block is not None:
+                if self._list_block.items:
+                    self.blocks.append(self._list_block)
+                self._list_block = None
+        elif tag == "figcaption":
+            self._in_figcaption = max(0, self._in_figcaption - 1)
+        elif tag == "figure":
+            self._figure_depth = max(0, self._figure_depth - 1)
+            self.blocks.append(bk.Block(
+                kind=bk.FIGURE,
+                in_chrome=self._chrome > 0,
+                figure=figk.Figure(
+                    page_number=1,
+                    bbox=self._fig_bbox or _DEFAULT_FIG_BBOX,
+                    element_type=self._fig_type,
+                    caption=self._fig_caption,
+                ),
+            ))
+        elif tag in ("div", "section", "article", "main", "body"):
+            self._flush()
+
+    def handle_data(self, data):
+        if self._skip:
+            return
+        if self._table_depth:
+            c = _collapse(data)
+            if c:
+                self._table_parts.append(c)
+                self._table_text.append(c)
+            return
+        if self._in_figcaption:
+            c = _collapse(data)
+            if c:
+                self._fig_caption = c if self._fig_caption is None else self._fig_caption + " " + c
+            return
+        if self._figure_depth:
+            return
+        self._buf.append(data)
+        n = len(_collapse(data))
+        self._buf_total += n
+        if self._link:
+            self._buf_links += n
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def parse_html(html: str) -> bk.PageBlocks:
+    """Parse one HTML document into a single page of blocks (page_number 1)."""
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    return bk.PageBlocks(page_number=1, blocks=p.blocks)
+
+
+def extract_html(html: str) -> bk.DocResult:
+    """HTML document → DocResult (markdown, byte-stable extracted_text, figures)."""
+    return bk.assemble_document([parse_html(html)])
