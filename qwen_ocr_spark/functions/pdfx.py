@@ -1,0 +1,582 @@
+"""PDF → blocks: minimal PDF writer + parser + XY-cut layout analysis.
+
+The PDF side of the extraction engine (replacement for the reference's
+rasterize-and-ask-a-VLM loop, /root/reference/src/pdf_handler.py:44-75 +
+src/config.py:78-124, per BASELINE.json ``north_star``): parse the page
+object tree directly, recover text runs with position + font size, sort
+into reading order with a recursive XY-cut, detect headings (font-size
+rank), lists (marker prefixes), tables (column-aligned runs), and figures
+(image XObject placements), then emit markdown through the shared
+``blocks`` emitter.
+
+pypdf/pdfminer are not available in this environment, so this module also
+defines the **generator** ``make_pdf`` for the well-formed uncompressed
+subset the parser accepts (PDF 1.4, Type1 Helvetica, one content stream per
+page, absolute ``Td`` positioning inside each ``BT``/``ET``, image XObjects
+placed via ``q w 0 0 h x y cm /ImN Do Q``).  All fixtures and synthetic
+corpus PDFs are produced by ``make_pdf``; the parser is deliberately strict
+to that subset and returns empty pages for anything else (error-channel
+semantics — a malformed document never fails the job, mirroring
+/root/reference/src/models/document_job.py:229-239).
+
+Coordinates: PDF user space is bottom-left origin; everything is converted
+to TOP-LEFT origin immediately at parse so downstream (bbox 0-1000
+normalization, XY-cut, y-ordering) matches the reference's convention
+(/root/reference/src/pdf_handler.py:81-91).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from qwen_ocr_spark import config
+from qwen_ocr_spark.functions import blocks as bk
+from qwen_ocr_spark.functions import figures as figk
+
+PAGE_W = 612.0
+PAGE_H = 792.0
+
+# ---------------------------------------------------------------------------
+# generator
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TextSpec:
+    x: float
+    y: float          # top-left origin, distance from page TOP
+    size: float
+    text: str
+
+
+@dataclass
+class ImageSpec:
+    x: float          # left, points
+    y: float          # top, points (top-left origin)
+    w: float
+    h: float
+    element_type: str = "other"
+
+
+@dataclass
+class PageSpec:
+    texts: list[TextSpec] = field(default_factory=list)
+    images: list[ImageSpec] = field(default_factory=list)
+    width: float = PAGE_W
+    height: float = PAGE_H
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def make_pdf(pages: list[PageSpec]) -> bytes:
+    """Serialize PageSpecs into a well-formed uncompressed PDF 1.4 file."""
+    objs: list[bytes] = []   # 1-indexed by position+1
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    page_obj_nums: list[int] = []
+    pages_node_num = len(pages) * 0 + 0  # placeholder, patched below
+    # reserve object numbers: we build pages after knowing the /Pages number,
+    # so simply collect bodies and fix references in a second pass using
+    # sequential numbering: font=1, then per page (image objs, content, page),
+    # then Pages node, then Catalog.
+    page_entries: list[int] = []
+    for spec in pages:
+        img_names: list[tuple[str, int]] = []
+        content_lines: list[str] = []
+        for i, im in enumerate(spec.images, start=1):
+            pixel_data = b"\x80" * 64
+            etype = im.element_type if im.element_type in config.ELEMENT_TYPES else "other"
+            body = (
+                f"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+                f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                f"/ElementType /{etype} /Length {len(pixel_data)} >>\nstream\n"
+            ).encode() + pixel_data + b"\nendstream"
+            n = add(body)
+            name = f"Im{i}"
+            img_names.append((name, n))
+            # top-left spec → bottom-left placement
+            y_bottom = spec.height - (im.y + im.h)
+            content_lines.append(
+                f"q {im.w:.2f} 0 0 {im.h:.2f} {im.x:.2f} {y_bottom:.2f} cm /{name} Do Q"
+            )
+        for t in spec.texts:
+            y_base = spec.height - t.y - t.size  # baseline ~ size below top of run
+            content_lines.append(
+                f"BT /F1 {t.size:g} Tf {t.x:.2f} {y_base:.2f} Td ({_esc(t.text)}) Tj ET"
+            )
+        content = ("\n".join(content_lines) + "\n").encode()
+        cnum = add(
+            f"<< /Length {len(content)} >>\nstream\n".encode() + content + b"endstream"
+        )
+        xobj = ""
+        if img_names:
+            xobj = " /XObject << " + " ".join(f"/{n} {num} 0 R" for n, num in img_names) + " >>"
+        page_entries.append(add(
+            f"<< /Type /Page /Parent {{PAGES}} 0 R /MediaBox [0 0 {spec.width:g} {spec.height:g}] "
+            f"/Contents {cnum} 0 R /Resources << /Font << /F1 {font_num} 0 R >>{xobj} >> >>".encode()
+        ))
+    kids = " ".join(f"{n} 0 R" for n in page_entries)
+    pages_node_num = add(
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_entries)} >>".encode()
+    )
+    catalog_num = add(f"<< /Type /Catalog /Pages {pages_node_num} 0 R >>".encode())
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        body = body.replace(b"{PAGES}", str(pages_node_num).encode())
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root {catalog_num} 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Run:
+    x: float
+    y: float          # TOP-left origin
+    size: float
+    text: str
+
+
+@dataclass
+class PageRuns:
+    page_number: int
+    width: float
+    height: float
+    runs: list[Run]
+    images: list[tuple[figk.BBox, str]]  # (normalized bbox, element_type)
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_TF_RE = re.compile(r"/F\d+\s+([\d.]+)\s+Tf")
+_TD_RE = re.compile(r"([-\d.]+)\s+([-\d.]+)\s+Td")
+_TJ_RE = re.compile(r"\(((?:\\.|[^\\()])*)\)\s*Tj")
+_CM_DO_RE = re.compile(
+    r"q\s+([-\d.]+)\s+[-\d.]+\s+[-\d.]+\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+cm\s*/(\w+)\s+Do\s+Q"
+)
+_BT_RE = re.compile(r"BT(.*?)ET", re.S)
+
+_PDF_UNESCAPE = {
+    "n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+    "(": "(", ")": ")", "\\": "\\",
+}
+
+
+def _unescape_pdf_string(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            out.append(_PDF_UNESCAPE.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def parse_pdf(data: bytes) -> list[PageRuns]:
+    """Parse the supported subset into per-page positioned text runs + images.
+
+    Returns [] for anything unparseable (caller routes to the error channel).
+    """
+    if not data.startswith(b"%PDF-"):
+        return []
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+
+    # locate the Pages node for /Kids ordering
+    kids_order: list[int] = []
+    for body in objs.values():
+        if b"/Type /Pages" in body or b"/Type/Pages" in body:
+            km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+            if km:
+                kids_order = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", km.group(1))]
+            break
+    if not kids_order:
+        kids_order = [
+            n for n, b in sorted(objs.items())
+            if re.search(rb"/Type\s*/Page\b", b) and b"/Pages" not in b.split(b"/Type", 2)[-1][:20]
+        ]
+
+    pages: list[PageRuns] = []
+    for idx, pnum_obj in enumerate(kids_order, start=config.START_PAGE):
+        body = objs.get(pnum_obj)
+        if body is None:
+            continue
+        mb = re.search(rb"/MediaBox\s*\[\s*[\d.]+\s+[\d.]+\s+([\d.]+)\s+([\d.]+)\s*\]", body)
+        pw, ph = (float(mb.group(1)), float(mb.group(2))) if mb else (PAGE_W, PAGE_H)
+        cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", body)
+        if not cm:
+            pages.append(PageRuns(idx, pw, ph, [], []))
+            continue
+        cobj = objs.get(int(cm.group(1)), b"")
+        sm = _STREAM_RE.search(cobj)
+        content = sm.group(1).decode("latin-1") if sm else ""
+
+        # XObject name → object num map for element_type lookup
+        xmap: dict[str, int] = {}
+        xm = re.search(rb"/XObject\s*<<(.*?)>>", body, re.S)
+        if xm:
+            for nm, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", xm.group(1)):
+                xmap[nm.decode()] = int(num)
+
+        runs: list[Run] = []
+        for bt in _BT_RE.finditer(content):
+            seg = bt.group(1)
+            size = 12.0
+            tm = _TF_RE.search(seg)
+            if tm:
+                size = float(tm.group(1))
+            pm = _TD_RE.search(seg)
+            x, y_base = (float(pm.group(1)), float(pm.group(2))) if pm else (0.0, 0.0)
+            text = "".join(_unescape_pdf_string(t) for t in _TJ_RE.findall(seg))
+            if text.strip():
+                # baseline → top-of-run, matching the generator's convention
+                runs.append(Run(x=x, y=ph - y_base - size, size=size, text=text))
+
+        images: list[tuple[figk.BBox, str]] = []
+        for im in _CM_DO_RE.finditer(content):
+            w, h, x, yb, name = (
+                float(im.group(1)), float(im.group(2)),
+                float(im.group(3)), float(im.group(4)), im.group(5),
+            )
+            y_top = ph - (yb + h)
+            s = config.BBOX_SCALE
+            bbox = (
+                int(x / pw * s), int(y_top / ph * s),
+                int((x + w) / pw * s), int((y_top + h) / ph * s),
+            )
+            etype = "other"
+            xobj = objs.get(xmap.get(name, -1), b"")
+            em = re.search(rb"/ElementType\s*/(\w+)", xobj)
+            if em and em.group(1).decode() in config.ELEMENT_TYPES:
+                etype = em.group(1).decode()
+            images.append((bbox, etype))
+        pages.append(PageRuns(idx, pw, ph, runs, images))
+    return pages
+
+
+# ---------------------------------------------------------------------------
+# layout analysis: lines → XY-cut → blocks
+# ---------------------------------------------------------------------------
+
+X_GUTTER_MIN = 18.0   # pts — min vertical gutter width to split columns
+Y_GAP_FACTOR = 1.6    # paragraph break when line gap > factor * font size
+LINE_Y_TOL = 2.0
+CHAR_W = 0.5          # crude average glyph width as a fraction of font size
+
+_ORDERED_RE = re.compile(r"^(\d+)\.\s+(.*)$")
+_BULLET_RE = re.compile(r"^[-•]\s+(.*)$")
+
+
+@dataclass
+class Line:
+    x0: float
+    x1: float
+    y: float
+    size: float
+    texts: list[tuple[float, str]]  # (x, text) runs, sorted
+
+    @property
+    def text(self) -> str:
+        return " ".join(t for _, t in self.texts)
+
+
+def _runs_to_lines(runs: list[Run]) -> list[Line]:
+    lines: list[Line] = []
+    for r in sorted(runs, key=lambda r: (round(r.y, 1), r.x)):
+        width = len(r.text) * r.size * CHAR_W
+        placed = False
+        for ln in lines:
+            if abs(ln.y - r.y) <= LINE_Y_TOL:
+                ln.texts.append((r.x, r.text))
+                ln.x0 = min(ln.x0, r.x)
+                ln.x1 = max(ln.x1, r.x + width)
+                ln.size = max(ln.size, r.size)
+                placed = True
+                break
+        if not placed:
+            lines.append(Line(x0=r.x, x1=r.x + width, y=r.y, size=r.size,
+                              texts=[(r.x, r.text)]))
+    for ln in lines:
+        ln.texts.sort(key=lambda t: t[0])
+    return lines
+
+
+def _largest_gap(intervals: list[tuple[float, float]], min_gap: float) -> float | None:
+    """Midpoint of the largest gap >= min_gap in a union of 1-D intervals."""
+    if not intervals:
+        return None
+    ivs = sorted(intervals)
+    merged = [list(ivs[0])]
+    for a, b in ivs[1:]:
+        if a <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    best: tuple[float, float] | None = None  # (width, midpoint)
+    for (a0, a1), (b0, b1) in zip(merged, merged[1:]):
+        w = b0 - a1
+        if w >= min_gap and (best is None or w > best[0]):
+            best = (w, (a1 + b0) / 2.0)
+    return best[1] if best else None
+
+
+def _xy_cut(lines: list[Line]) -> list[list[Line]]:
+    """Recursive XY-cut → reading-order leaf groups (top-before-bottom,
+    left-column-fully-before-right).  Deterministic tie-breaks: horizontal
+    cuts are tried first at equal opportunity; recursion always emits
+    top/left child first."""
+    if not lines:
+        return []
+    if len(lines) == 1:
+        return [lines]
+    sizes = [ln.size for ln in lines]
+    med = sorted(sizes)[len(sizes) // 2]
+    y_gap_min = Y_GAP_FACTOR * med * 1.25
+
+    y_cut = _largest_gap([(ln.y, ln.y + ln.size) for ln in lines], y_gap_min)
+    x_cut = _largest_gap([(ln.x0, ln.x1) for ln in lines], X_GUTTER_MIN)
+    # prefer the horizontal cut when a full-width band (title) sits on top;
+    # otherwise cut columns first so reading order is column-major
+    if x_cut is not None:
+        left = [ln for ln in lines if ln.x1 <= x_cut]
+        right = [ln for ln in lines if ln.x0 >= x_cut]
+        spanning = [ln for ln in lines if ln.x0 < x_cut < ln.x1]
+        if not spanning and left and right:
+            return _xy_cut(left) + _xy_cut(right)
+        if spanning and y_cut is not None:
+            top = [ln for ln in lines if ln.y + ln.size <= y_cut]
+            bottom = [ln for ln in lines if ln.y >= y_cut]
+            if top and bottom:
+                return _xy_cut(top) + _xy_cut(bottom)
+        # spanning line blocks the column cut: split around it by y
+        if spanning:
+            y_split = max(ln.y + ln.size for ln in spanning)
+            top = [ln for ln in lines if ln.y <= y_split - LINE_Y_TOL]
+            bottom = [ln for ln in lines if ln.y > y_split - LINE_Y_TOL]
+            if top and bottom:
+                return _xy_cut(top) + _xy_cut(bottom)
+    if y_cut is not None:
+        top = [ln for ln in lines if ln.y + ln.size <= y_cut]
+        bottom = [ln for ln in lines if ln.y >= y_cut]
+        if top and bottom:
+            return _xy_cut(top) + _xy_cut(bottom)
+    return [sorted(lines, key=lambda ln: (ln.y, ln.x0))]
+
+
+def _extract_tables(lines: list[Line]) -> tuple[list[tuple[float, bk.Block]], list[Line]]:
+    """Page-level table detection: >=2 consecutive (by y) lines, each with
+    the same >=2 column x positions (tolerance 3pt) form one table.  Returns
+    (anchored table blocks, remaining lines).  Runs before the XY-cut so
+    column gutters inside tables don't get cut as layout columns."""
+    ordered = sorted(lines, key=lambda ln: ln.y)
+    used: set[int] = set()
+    tables: list[tuple[float, bk.Block]] = []
+    # "Table ..." caption lines disambiguate 2-column tables from 2-column
+    # page layout (which also produces aligned run pairs)
+    caption_ys = [ln.y for ln in ordered if ln.text.startswith("Table")]
+    i = 0
+    while i < len(ordered):
+        cols = [x for x, _ in ordered[i].texts]
+        if len(cols) >= 2:
+            j = i + 1
+            while j < len(ordered):
+                xs = [x for x, _ in ordered[j].texts]
+                if len(xs) != len(cols) or any(abs(a - b) > 3.0 for a, b in zip(xs, cols)):
+                    break
+                j += 1
+            captioned = any(
+                0 <= ordered[i].y - cy <= 60.0 for cy in caption_ys
+            )
+            if j - i >= 2 and (len(cols) >= 3 or captioned):
+                group = ordered[i:j]
+                html, text = _table_html(group)
+                anchor = max(ln.y + ln.size for ln in group)
+                tables.append((anchor, bk.Block(kind=bk.TABLE, html=html, text=text)))
+                used.update(id(ln) for ln in group)
+                i = j
+                continue
+        i += 1
+    rest = [ln for ln in ordered if id(ln) not in used]
+    return tables, rest
+
+
+def _split_segments(ln: Line) -> list[Line]:
+    """Split one y-line into column segments at x-gaps > 2 * font size, so
+    side-by-side column text becomes separate boxes for the XY-cut."""
+    if len(ln.texts) <= 1:
+        return [ln]
+    segs: list[list[tuple[float, str]]] = [[ln.texts[0]]]
+    for x, t in ln.texts[1:]:
+        px, pt = segs[-1][-1]
+        prev_end = px + len(pt) * ln.size * CHAR_W
+        if x - prev_end > 2.0 * ln.size:
+            segs.append([(x, t)])
+        else:
+            segs[-1].append((x, t))
+    out = []
+    for seg in segs:
+        x0 = seg[0][0]
+        x1 = seg[-1][0] + len(seg[-1][1]) * ln.size * CHAR_W
+        out.append(Line(x0=x0, x1=x1, y=ln.y, size=ln.size, texts=seg))
+    return out
+
+
+def _table_html(lines: list[Line]) -> tuple[str, str]:
+    rows = []
+    for i, ln in enumerate(lines):
+        tag = "th" if i == 0 else "td"
+        cells = "".join(f"<{tag}>{t}</{tag}>" for _, t in ln.texts)
+        rows.append(f"<tr>{cells}</tr>")
+    text = " ".join(t for ln in lines for _, t in ln.texts)
+    return "<table>" + "".join(rows) + "</table>", text
+
+
+def _heading_levels(all_pages: list[PageRuns]) -> tuple[float, dict[float, int]]:
+    """Doc-wide font-size stats → (body_size, size→heading level)."""
+    weight: dict[float, int] = {}
+    for p in all_pages:
+        for r in p.runs:
+            weight[r.size] = weight.get(r.size, 0) + len(r.text)
+    if not weight:
+        return 12.0, {}
+    body = max(weight.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    bigger = sorted((s for s in weight if s > body), reverse=True)
+    return body, {s: min(i + 1, 6) for i, s in enumerate(bigger)}
+
+
+def pdf_pages_to_blocks(pages: list[PageRuns]) -> list[bk.PageBlocks]:
+    body_size, levels = _heading_levels(pages)
+    out: list[bk.PageBlocks] = []
+    for p in pages:
+        annotated: list[tuple[float, bk.Block]] = []
+        lines = _runs_to_lines(p.runs)
+        tables, rest = _extract_tables(lines)
+        sublines = [seg for ln in rest for seg in _split_segments(ln)]
+        for group in _xy_cut(sublines):
+            anchor = max(ln.y + ln.size for ln in group) if group else 0.0
+            for b in _group_to_blocks(group, levels):
+                annotated.append((anchor, b))
+        # Figure placement (contract: after the paragraph at its visual
+        # position, /root/reference/src/config.py:109-110): when reading
+        # order is monotone in y (single-column page) insert each figure
+        # after the last block above its bottom edge; on multi-column pages
+        # append at page end — deterministic either way.  Caption lookup:
+        # nearest line below starting Figure/Fig./Table/Algorithm
+        # (src/config.py:147).
+        monotone = all(
+            annotated[i][0] <= annotated[i + 1][0] for i in range(len(annotated) - 1)
+        )
+        fig_annotated: list[tuple[float, bk.Block]] = list(tables)
+        for bbox, etype in sorted(p.images, key=lambda ie: (ie[0][1], ie[0][0])):
+            caption = _find_caption(bbox, lines, p.width, p.height)
+            y2_pts = bbox[3] / config.BBOX_SCALE * p.height
+            anchor = y2_pts + LINE_Y_TOL if monotone else float("inf")
+            fig_annotated.append((anchor, bk.Block(
+                kind=bk.FIGURE,
+                figure=figk.Figure(
+                    page_number=p.page_number, bbox=bbox,
+                    element_type=etype, caption=caption,
+                ),
+            )))
+        # stable merge: text blocks keep reading order; each figure lands
+        # after the last block whose anchor is above its bottom edge
+        merged = sorted(annotated + fig_annotated, key=lambda t: t[0]) \
+            if monotone else annotated + fig_annotated
+        out.append(bk.PageBlocks(p.page_number, [b for _, b in merged]))
+    return out
+
+
+def _find_caption(bbox: figk.BBox, lines: list[Line], pw: float, ph: float) -> str | None:
+    y2_pts = bbox[3] / config.BBOX_SCALE * ph
+    below = [
+        ln for ln in lines
+        if ln.y >= y2_pts - LINE_Y_TOL and figk.is_caption(ln.text)
+    ]
+    if not below:
+        return None
+    best = min(below, key=lambda ln: ln.y)
+    return best.text
+
+
+def _group_to_blocks(group: list[Line], levels: dict[float, int]) -> list[bk.Block]:
+    """One XY-cut leaf → heading/para/list/table blocks by y-gap grouping."""
+    if not group:
+        return []
+    group = sorted(group, key=lambda ln: (ln.y, ln.x0))
+    blocks: list[bk.Block] = []
+    para: list[Line] = []
+
+    def flush(para: list[Line]) -> None:
+        if not para:
+            return
+        size = max(ln.size for ln in para)
+        lvl = levels.get(size)
+        items = []
+        all_list = all(
+            _ORDERED_RE.match(ln.text) or _BULLET_RE.match(ln.text) for ln in para
+        )
+        if all_list and lvl is None:
+            for ln in para:
+                om = _ORDERED_RE.match(ln.text)
+                if om:
+                    items.append(bk.ListItem(text=om.group(2), ordered=True))
+                else:
+                    bm = _BULLET_RE.match(ln.text)
+                    items.append(bk.ListItem(text=bm.group(1), ordered=False))
+            blocks.append(bk.Block(kind=bk.LIST, items=items))
+            return
+        text = " ".join(ln.text for ln in para)
+        text = " ".join(text.split())
+        if lvl is not None:
+            blocks.append(bk.Block(kind=bk.HEADING, level=lvl, text=text,
+                                   total_chars=len(text)))
+        else:
+            blocks.append(bk.Block(kind=bk.PARA, text=text, total_chars=len(text)))
+
+    for ln in group:
+        if para:
+            prev = para[-1]
+            gap = ln.y - (prev.y + prev.size)
+            size_change = levels.get(ln.size) != levels.get(prev.size)
+            is_list_line = bool(_ORDERED_RE.match(ln.text) or _BULLET_RE.match(ln.text))
+            was_list_line = bool(_ORDERED_RE.match(prev.text) or _BULLET_RE.match(prev.text))
+            if gap > Y_GAP_FACTOR * prev.size or size_change or is_list_line != was_list_line:
+                flush(para)
+                para = []
+        para.append(ln)
+    flush(para)
+    return blocks
+
+
+def extract_pdf(data: bytes) -> bk.DocResult:
+    """PDF bytes → DocResult via parse → layout → shared assembly/emitter."""
+    return bk.assemble_document(pdf_pages_to_blocks(parse_pdf(data)))

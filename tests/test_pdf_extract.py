@@ -1,0 +1,174 @@
+"""PDF extraction path: parser, XY-cut reading order, layout semantics.
+
+Covers the replacement core (BASELINE.json north_star) plus contract rules
+inherited from the reference prompts (/root/reference/src/config.py:78-124):
+heading reconstruction, two-column reading order, running header/footer
+removal, sentence merge across pages, list continuation, figure refs +
+area filter, table as HTML."""
+
+from qwen_ocr_spark.functions.pdfx import (
+    ImageSpec,
+    PageSpec,
+    TextSpec,
+    extract_pdf,
+    make_pdf,
+    parse_pdf,
+)
+
+
+def _body_lines(texts, x=72, y0=120, size=12, leading=16):
+    return [TextSpec(x, y0 + i * leading, size, t) for i, t in enumerate(texts)]
+
+
+def test_roundtrip_runs():
+    pdf = make_pdf([PageSpec(texts=[TextSpec(72, 100, 12, "hello (world) \\ back")])])
+    pages = parse_pdf(pdf)
+    assert len(pages) == 1
+    assert pages[0].runs[0].text == "hello (world) \\ back"
+    assert abs(pages[0].runs[0].y - 100) < 0.5
+
+
+def test_not_a_pdf_is_empty():
+    assert parse_pdf(b"<html>nope</html>") == []
+    r = extract_pdf(b"%PDF-1.4 garbage")
+    assert r.markdown == ""
+
+
+def test_heading_levels_by_font_size():
+    page = PageSpec(texts=[
+        TextSpec(72, 60, 24, "The Title"),
+        TextSpec(72, 130, 18, "Section One"),
+        *_body_lines([
+            "Body text first line of the opening paragraph here.",
+            "and the second line continues the same paragraph.",
+        ], y0=180),
+    ])
+    r = extract_pdf(make_pdf([page]))
+    md = r.markdown.split("\n\n")
+    assert md[0] == "# The Title"
+    assert md[1] == "## Section One"
+    assert md[2].startswith("Body text first line")
+    # lines merged into one paragraph, single space
+    assert "here. and the second" in md[2]
+
+
+def test_two_column_reading_order():
+    # narrow columns: left x=72, right x=330; title spans both
+    left = [TextSpec(72, 140 + i * 16, 12, f"left{i} alpha beta") for i in range(4)]
+    right = [TextSpec(330, 140 + i * 16, 12, f"right{i} gamma delta") for i in range(4)]
+    title = TextSpec(72, 50, 20, "A Spanning Document Title Across Both Columns")
+    r = extract_pdf(make_pdf([PageSpec(texts=[title, *left, *right])]))
+    text = r.extracted_text
+    assert text.index("left0") < text.index("left3") < text.index("right0")
+    assert text.index("A Spanning Document Title") < text.index("left0")
+
+
+def test_running_headers_removed():
+    def page(n):
+        return PageSpec(texts=[
+            TextSpec(72, 40, 10, "ACME Quarterly Report"),
+            *_body_lines([f"Unique content paragraph for page {n} with words."], y0=120),
+            TextSpec(72, 740, 10, f"Page {n} footer note"),
+        ])
+    r = extract_pdf(make_pdf([page(1), page(2), page(3)]))
+    assert "ACME Quarterly Report" not in r.markdown
+    assert "Unique content paragraph for page 2" in r.markdown
+    # non-repeated footers survive the running filter (but may fail word count)
+
+
+def test_sentence_merge_across_pages():
+    p1 = PageSpec(texts=_body_lines([
+        "The training procedure converges quickly when the learning",
+    ], y0=700))
+    p2 = PageSpec(texts=_body_lines([
+        "rate is annealed according to a cosine schedule over time.",
+    ], y0=80))
+    r = extract_pdf(make_pdf([p1, p2]))
+    assert "when the learning rate is annealed" in r.markdown
+    # no page markers, no double blank lines
+    assert "Page" not in r.markdown
+    assert "\n\n\n" not in r.markdown
+
+
+def test_list_continuation_across_pages():
+    p1 = PageSpec(texts=_body_lines([
+        "The recipe proceeds in the following numbered order today:",
+    ], y0=100) + _body_lines(["1. mix the dry ingredients", "2. add the wet ingredients"], y0=160))
+    p2 = PageSpec(texts=_body_lines(["3. bake at two hundred degrees", "4. cool before serving"], y0=80))
+    r = extract_pdf(make_pdf([p1, p2]))
+    assert "1. mix the dry ingredients" in r.markdown
+    assert "2. add the wet ingredients" in r.markdown
+    assert "3. bake at two hundred degrees" in r.markdown
+    assert "4. cool before serving" in r.markdown
+
+
+def test_figure_extraction_caption_and_area():
+    page = PageSpec(texts=[
+        *_body_lines(["The results are summarized in the figure shown below."], y0=80),
+        TextSpec(72, 480, 10, "Figure 1: Throughput versus cluster size"),
+        *_body_lines(["Discussion continues after the figure with more words."], y0=560),
+    ], images=[
+        ImageSpec(x=100, y=120, w=350, h=330, element_type="chart"),   # ~25% kept
+        ImageSpec(x=500, y=20, w=40, h=30, element_type="other"),      # tiny, dropped
+    ])
+    r = extract_pdf(make_pdf([page]))
+    assert len(r.figures) == 1
+    f = r.figures[0]
+    assert f.element_type == "chart"
+    assert f.fig_number == 1
+    assert f.caption == "Figure 1: Throughput versus cluster size"
+    assert "![Figure 1: Throughput versus cluster size](1_fig1.png)" in r.markdown
+    # figure ref appears after the intro paragraph, before the discussion
+    idx_intro = r.markdown.index("summarized in the figure")
+    idx_fig = r.markdown.index("![Figure 1")
+    idx_disc = r.markdown.index("Discussion continues")
+    assert idx_intro < idx_fig < idx_disc
+
+
+def test_table_detected_as_html():
+    rows = [
+        ("Model", "Accuracy", "Latency"),
+        ("small", "0.91", "12ms"),
+        ("large", "0.97", "45ms"),
+    ]
+    texts = [TextSpec(72, 200, 12, "Table 1: Model comparison summary table")]
+    for i, row in enumerate(rows):
+        y = 260 + i * 16
+        texts += [TextSpec(72, y, 12, row[0]), TextSpec(250, y, 12, row[1]), TextSpec(420, y, 12, row[2])]
+    r = extract_pdf(make_pdf([PageSpec(texts=texts)]))
+    assert "<table><tr><th>Model</th><th>Accuracy</th><th>Latency</th></tr>" in r.markdown
+    assert "<tr><td>small</td><td>0.91</td><td>12ms</td></tr>" in r.markdown
+    assert "Table 1: Model comparison" in r.markdown
+    assert "|" not in r.markdown  # never pipe tables
+
+
+def test_header_breadcrumb_fold_multi_batch():
+    # 12 pages → two batches of 10; heading structure folds across them
+    pages = []
+    pages.append(PageSpec(texts=[
+        TextSpec(72, 60, 24, "Root Title"),
+        *_body_lines(["Opening paragraph with enough words to be content."], y0=140),
+    ]))
+    for n in range(2, 12):
+        pages.append(PageSpec(texts=_body_lines(
+            [f"Filler page {n} paragraph with sufficiently many words."], y0=100)))
+    pages.append(PageSpec(texts=[
+        TextSpec(72, 60, 18, "Late Section"),
+        *_body_lines(["Closing paragraph with enough words to be content."], y0=140),
+    ]))
+    r = extract_pdf(make_pdf(pages))
+    assert r.header_stack == [(1, "# Root Title"), (2, "## Late Section")]
+    assert "# Root Title" in r.markdown
+    assert "## Late Section" in r.markdown
+
+
+def test_determinism():
+    page = PageSpec(texts=[
+        TextSpec(72, 60, 24, "Det Title"),
+        *_body_lines(["Deterministic body paragraph with several words here."], y0=140),
+    ], images=[ImageSpec(100, 200, 300, 300, "diagram")])
+    pdf = make_pdf([page])
+    a, b = extract_pdf(pdf), extract_pdf(pdf)
+    assert a.markdown == b.markdown
+    assert a.extracted_text == b.extracted_text
+    assert [f.bbox for f in a.figures] == [f.bbox for f in b.figures]
