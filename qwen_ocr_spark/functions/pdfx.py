@@ -166,7 +166,7 @@ class PageRuns:
     width: float
     height: float
     runs: list[Run]
-    images: list[tuple[figk.BBox, str]]  # (normalized bbox, element_type)
+    images: list[tuple[figk.BBox, str, bytes]]  # (normalized bbox, element_type, raw stream)
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
@@ -261,7 +261,7 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
                 # baseline → top-of-run, matching the generator's convention
                 runs.append(Run(x=x, y=ph - y_base - size, size=size, text=text))
 
-        images: list[tuple[figk.BBox, str]] = []
+        images: list[tuple[figk.BBox, str, bytes]] = []
         for im in _CM_DO_RE.finditer(content):
             w, h, x, yb, name = (
                 float(im.group(1)), float(im.group(2)),
@@ -278,7 +278,9 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
             em = re.search(rb"/ElementType\s*/(\w+)", xobj)
             if em and em.group(1).decode() in config.ELEMENT_TYPES:
                 etype = em.group(1).decode()
-            images.append((bbox, etype))
+            xsm = _STREAM_RE.search(xobj)
+            raw = xsm.group(1) if xsm else b""
+            images.append((bbox, etype, raw))
         pages.append(PageRuns(idx, pw, ph, runs, images))
     return pages
 
@@ -496,7 +498,7 @@ def pdf_pages_to_blocks(pages: list[PageRuns]) -> list[bk.PageBlocks]:
             annotated[i][0] <= annotated[i + 1][0] for i in range(len(annotated) - 1)
         )
         fig_annotated: list[tuple[float, bk.Block]] = list(tables)
-        for bbox, etype in sorted(p.images, key=lambda ie: (ie[0][1], ie[0][0])):
+        for bbox, etype, raw in sorted(p.images, key=lambda ie: (ie[0][1], ie[0][0])):
             caption = _find_caption(bbox, lines, p.width, p.height)
             y2_pts = bbox[3] / config.BBOX_SCALE * p.height
             anchor = y2_pts + LINE_Y_TOL if monotone else float("inf")
@@ -504,7 +506,7 @@ def pdf_pages_to_blocks(pages: list[PageRuns]) -> list[bk.PageBlocks]:
                 kind=bk.FIGURE,
                 figure=figk.Figure(
                     page_number=p.page_number, bbox=bbox,
-                    element_type=etype, caption=caption,
+                    element_type=etype, caption=caption, png=raw,
                 ),
             )))
         # stable merge: text blocks keep reading order; each figure lands

@@ -1,0 +1,161 @@
+"""The extraction pipeline: pages → (out, figures) via one Arrow-batched UDF.
+
+Spark restatement of the reference's whole job (SURVEY.md §3.1):
+
+    read pages → prune to (url, warc_ts, html) → salted repartition by
+    url-hash → mapInPandas(extract) → out table (+ exploded figures view)
+
+Design notes for the 10^12-row target:
+
+* **Column pruning**: the UDF input is selected down to exactly
+  (url, warc_ts, html) before the repartition, so the parquet/Iceberg scan
+  never reads the crawl ``text`` column (the reference's downscale-for-
+  transmission optimization mapped to its Spark analog, SURVEY.md §4).
+* **Salted repartition**: Common-Crawl inputs arrive clustered by host with
+  correlated document sizes; ``repartition(xxhash64(url, salt))`` breaks
+  that clustering so every task gets a mixed diet of cheap/expensive
+  documents.  AQE handles residual skew.
+* **One UDF pass computes text AND figures** — the reference ran two model
+  calls per batch concurrently (src/models/document_job.py:338-362); here
+  one shared parse produces both output columns, figures nested as an
+  array<struct> exploded later without reparsing.
+* **Determinism**: the UDF output is a pure function of (url, html) bytes —
+  task retries and speculative execution yield byte-identical rows, which
+  is what makes the digest-based manifest (sinks/manifest.py) sound.
+* **Error channel**: a document that fails to parse yields a row with
+  ``error`` set and null markdown — one bad document never fails the job
+  (reference semantics, src/models/document_job.py:229-239).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qwen_ocr_spark.functions import blocks as bk
+from qwen_ocr_spark.functions import htmlx, pdfx
+from qwen_ocr_spark.functions.figures import image_tokens
+from qwen_ocr_spark.functions.markdown import build_context
+
+OUT_SCHEMA = (
+    "url string, warc_ts timestamp, doc_kind string, markdown string, "
+    "extracted_text string, digest string, n_pages int, n_headers int, "
+    "n_blocks_kept int, n_blocks_dropped int, image_tokens bigint, "
+    "breadcrumb string, figures array<struct<page_number int, fig_number int, "
+    "bbox array<int>, caption string, element_type string, png binary>>, "
+    "error string"
+)
+
+FIGURES_COLUMNS = ["url", "page_number", "fig_number", "bbox", "caption",
+                   "element_type", "png"]
+
+# 130 DPI page-image token cost (reference cost model A1 —
+# src/processing.py:100-102 at src/pdf_handler.py:11's DPI): tokens are
+# computed from the page's MediaBox rendered at 130 DPI.
+_DPI = 130.0
+_PT_PER_IN = 72.0
+
+
+def _extract_one(url: str, payload: bytes) -> dict:
+    if payload[:5] == b"%PDF-":
+        pages = pdfx.parse_pdf(payload)
+        res = bk.assemble_document(pdfx.pdf_pages_to_blocks(pages))
+        kind = "pdf"
+        n_pages = len(pages)
+        itok = sum(
+            image_tokens(int(p.width / _PT_PER_IN * _DPI), int(p.height / _PT_PER_IN * _DPI))
+            for p in pages
+        )
+    else:
+        res = htmlx.extract_html(payload.decode("utf-8", errors="replace"))
+        kind = "html"
+        n_pages = 1
+        itok = 0
+    return {
+        "doc_kind": kind,
+        "markdown": res.markdown,
+        "extracted_text": res.extracted_text,
+        "digest": hashlib.sha256(res.extracted_text.encode("utf-8")).hexdigest(),
+        "n_pages": n_pages,
+        "n_headers": len(res.header_stack),
+        "n_blocks_kept": res.n_blocks_kept,
+        "n_blocks_dropped": res.n_blocks_dropped,
+        "image_tokens": itok,
+        "breadcrumb": build_context(res.header_stack),
+        "figures": [
+            (f.page_number, f.fig_number, list(f.bbox), f.caption,
+             f.element_type, f.png)
+            for f in res.figures
+        ],
+        "error": None,
+    }
+
+
+def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        rows = []
+        for url, ts, payload in zip(b["url"], b["warc_ts"], b["html"]):
+            try:
+                rec = _extract_one(url, bytes(payload))
+            except Exception as e:  # error channel, never fail the task
+                rec = {
+                    "doc_kind": "unknown", "markdown": None,
+                    "extracted_text": None, "digest": None, "n_pages": 0,
+                    "n_headers": 0, "n_blocks_kept": 0, "n_blocks_dropped": 0,
+                    "image_tokens": 0, "breadcrumb": None, "figures": [],
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            rec["url"] = url
+            rec["warc_ts"] = ts
+            rows.append(rec)
+        yield pd.DataFrame(rows, columns=[
+            "url", "warc_ts", "doc_kind", "markdown", "extracted_text",
+            "digest", "n_pages", "n_headers", "n_blocks_kept",
+            "n_blocks_dropped", "image_tokens", "breadcrumb", "figures",
+            "error",
+        ])
+
+
+def extract_pages(pages_df: DataFrame, *, salt: int = 0,
+                  partitions: int | None = None,
+                  lang: str | None = None) -> DataFrame:
+    """pages → out.  Optional predicate-pushdown lang filter; explicit
+    salted repartition by url-hash before the UDF (skew strategy per
+    SURVEY.md §4)."""
+    df = pages_df
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)  # pushed to the scan
+    df = df.select("url", "warc_ts", "html")   # column pruning: never read text
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n, F.xxhash64(F.col("url"), F.lit(salt)))
+    return df.mapInPandas(_extract_iter, schema=OUT_SCHEMA)
+
+
+def figures_table(out_df: DataFrame) -> DataFrame:
+    """Explode the nested figures into the side-output table
+    figures(url, page_number, fig_number, bbox, caption, element_type, png)
+    — the Spark analog of images/{page}_fig{n}.png
+    (/root/reference/src/models/extracted_image.py:34-43)."""
+    return (
+        out_df
+        .select("url", F.explode("figures").alias("f"))
+        .select("url", "f.page_number", "f.fig_number", "f.bbox",
+                "f.caption", "f.element_type", "f.png")
+    )
+
+
+def job_totals(out_df: DataFrame) -> DataFrame:
+    """Per-job aggregate metrics (reference A3/A6 —
+    src/models/document_job.py:364-366, src/main.py:298-311)."""
+    return out_df.agg(
+        F.count("*").alias("documents"),
+        F.sum("n_pages").alias("total_pages"),
+        F.sum("image_tokens").alias("total_input_tokens"),
+        F.sum(F.size("figures")).alias("images_extracted"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+        F.lit(0.0).alias("total_cost"),  # dead metric kept for fidelity (A7)
+    )

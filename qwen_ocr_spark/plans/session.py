@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+One place owns the conf so tests, bench, and the driver entry point agree.
+Defaults are chosen for the 100 TB design point and scaled down by env:
+
+* AQE on (runtime coalescing + skew-join splitting) — the explicit answer
+  to host-domain skew per SURVEY.md §4.
+* Arrow on with a bounded records-per-batch: rows carry whole documents
+  (tens of KB each), so the default 10k rows/batch would make multi-hundred
+  MB Arrow batches; 512 keeps executor memory flat.
+* shuffle partitions default to the core count locally; on a real cluster
+  AQE coalesces from a deliberately high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return f"local[{cpus}]"
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "qwen-ocr-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or default_master()
+    if shuffle_partitions is None:
+        if master.startswith("local[") and master[6:-1].isdigit():
+            shuffle_partitions = max(int(master[6:-1]), 8)
+        else:
+            shuffle_partitions = 32
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,212 @@
+"""Deterministic synthetic ``pages`` corpus (Common-Crawl-style).
+
+Schema per BASELINE.json ``input_hint``:
+
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+Every row is a pure function of ``(seed, doc_id)`` — generation is
+embarrassingly parallel via ``spark.range(n).mapInPandas(...)``, so the same
+corpus can be generated at any scale on any cluster with zero shuffle and no
+driver-side materialization (the same property the 100 TB design needs).
+
+Skew model (FIXTURES.md §1): a Zipf-like host distribution where one hot
+domain holds ≈30% of documents — this is what the salted repartition in the
+extraction pipeline exists to break.  ~85% of payloads are HTML built from
+templates exercising every extractor rule (nav/header/footer chrome, link
+farms, figures with bboxes, HTML tables, ordered lists, LaTeX, unicode);
+~15% are PDFs produced by :func:`qwen_ocr_spark.functions.pdfx.make_pdf`
+(multi-page, headings, running headers, lists, figures, two-column).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import html as html_mod
+import random
+from typing import Iterator
+
+import pandas as pd
+
+from qwen_ocr_spark.functions.pdfx import ImageSpec, PageSpec, TextSpec, make_pdf
+
+EPOCH = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+HOSTS = (
+    ["hot.example.com"] * 30
+    + ["mid-a.example.org"] * 14 + ["mid-b.example.net"] * 14
+    + ["s1.example.io"] * 8 + ["s2.example.dev"] * 8 + ["s3.example.co"] * 8
+    + ["t1.example.ai"] * 6 + ["t2.example.app"] * 6 + ["t3.example.site"] * 6
+)
+LANGS = ["en"] * 6 + ["de", "fr", "es", "zh"]
+
+WORDS = (
+    "data spark query table column filter join window batch stream shuffle "
+    "partition cluster schema vector token model layer training gradient "
+    "throughput latency memory storage index scan merge sort hash agg"
+).split()
+
+UNICODE_SNIPPETS = ["naïve café — résumé", "模型 训练 数据", "größer äußerst", "½ × ¾ ≈ ⅜"]
+
+
+def _rng(seed: int, doc_id: int) -> random.Random:
+    h = hashlib.sha256(f"{seed}:{doc_id}".encode()).digest()
+    return random.Random(int.from_bytes(h[:8], "big"))
+
+
+def _sentence(r: random.Random, n: int) -> str:
+    ws = [r.choice(WORDS) for _ in range(n)]
+    ws[0] = ws[0].capitalize()
+    return " ".join(ws) + "."
+
+
+def _paragraph(r: random.Random) -> str:
+    return " ".join(_sentence(r, r.randint(6, 14)) for _ in range(r.randint(2, 5)))
+
+
+def _html_doc(r: random.Random, doc_id: int) -> tuple[str, str]:
+    """Return (html, crawl_text).  crawl_text mimics a crawler's own plain
+    text (page chrome included) — the held-out ``text`` column."""
+    title = _sentence(r, r.randint(3, 6)).rstrip(".")
+    paras = [_paragraph(r) for _ in range(r.randint(2, 8))]
+    nav_items = "".join(
+        f'<li><a href="/{w}">{w.capitalize()}</a></li>' for w in r.sample(WORDS, 4)
+    )
+    body: list[str] = [f"<nav><ul>{nav_items}</ul></nav>",
+                       "<header><p>SyntheticSite daily crawl edition</p></header>",
+                       "<article>", f"<h1>{html_mod.escape(title)}</h1>"]
+    sections = r.randint(1, 3)
+    fig_count = 0
+    for s in range(sections):
+        body.append(f"<h2>Section {s + 1} {r.choice(WORDS)}</h2>")
+        for p in paras[s::sections]:
+            body.append(f"<p>{html_mod.escape(p)}</p>")
+        roll = r.random()
+        if roll < 0.25:
+            fig_count += 1
+            x1, y1 = r.randint(0, 300), r.randint(0, 300)
+            w, h = r.randint(250, 650), r.randint(250, 600)
+            cap = f"Figure {fig_count}: {_sentence(r, 4).rstrip('.')}"
+            body.append(
+                f'<figure><img src="f{fig_count}.png" data-bbox="{x1},{y1},{min(x1 + w, 1000)},{min(y1 + h, 1000)}" '
+                f'data-element-type="{r.choice(["chart", "graph", "diagram"])}"/>'
+                f"<figcaption>{cap}</figcaption></figure>"
+            )
+        elif roll < 0.40:
+            rows = "".join(
+                f"<tr><td>{r.choice(WORDS)}</td><td>{r.randint(0, 99)}</td></tr>"
+                for _ in range(r.randint(2, 5))
+            )
+            body.append(
+                f"<p>Table {s + 1}: {_sentence(r, 3)}</p>"
+                f"<table><thead><tr><th>name</th><th>value</th></tr></thead>"
+                f"<tbody>{rows}</tbody></table>"
+            )
+        elif roll < 0.55:
+            items = "".join(f"<li>{_sentence(r, 4)}</li>" for _ in range(r.randint(2, 5)))
+            body.append(f"<ol>{items}</ol>")
+        elif roll < 0.62:
+            body.append(f"<p>The loss is $L = \\sum_i x_{{{doc_id % 7}}}^2$ "
+                        f"and {_sentence(r, 8)}</p>")
+        elif roll < 0.68:
+            body.append(f"<p>{html_mod.escape(r.choice(UNICODE_SNIPPETS))} "
+                        f"{html_mod.escape(_sentence(r, 9))}</p>")
+    body.append("</article>")
+    body.append('<aside><p><a href="/ads">Sponsored</a> <a href="/more">More</a></p></aside>')
+    body.append('<footer><p>Copyright 2026 <a href="/tos">Terms</a></p></footer>')
+    html = "<!doctype html><html><head><title>x</title></head><body>" + "".join(body) + "</body></html>"
+    crawl_text = " ".join([title] + paras)
+    return html, crawl_text
+
+
+def _pdf_doc(r: random.Random, doc_id: int) -> tuple[bytes, str]:
+    n_pages = r.randint(1, 14)
+    title = _sentence(r, r.randint(3, 6)).rstrip(".")
+    pages: list[PageSpec] = []
+    all_text: list[str] = [title]
+    for pn in range(1, n_pages + 1):
+        texts: list[TextSpec] = []
+        images: list[ImageSpec] = []
+        y = 60.0
+        if pn == 1:
+            texts.append(TextSpec(72, y, 22, title))
+            y += 60
+        if n_pages >= 3:
+            texts.append(TextSpec(72, 30, 9, "Synthetic Proceedings Vol. 7"))
+        if r.random() < 0.5:
+            sec = f"Section {pn} {r.choice(WORDS)}"
+            texts.append(TextSpec(72, y, 16, sec))
+            all_text.append(sec)
+            y += 36
+        for _ in range(r.randint(1, 3)):
+            para = _paragraph(r)
+            all_text.append(para)
+            # wrap ~55 chars per line
+            words, line = para.split(" "), ""
+            for w in words:
+                if len(line) + len(w) + 1 > 55:
+                    texts.append(TextSpec(72, y, 12, line))
+                    y += 16
+                    line = w
+                else:
+                    line = (line + " " + w).strip()
+            if line:
+                texts.append(TextSpec(72, y, 12, line))
+                y += 16
+            y += 24
+        if r.random() < 0.3 and y < 560:
+            w, h = r.uniform(250, 420), r.uniform(160, 220)
+            images.append(ImageSpec(90, y, w, h, r.choice(["chart", "diagram", "graph"])))
+            y += h + 8
+            cap = f"Figure 1: {_sentence(r, 4).rstrip('.')}"
+            texts.append(TextSpec(90, y, 10, cap))
+            all_text.append(cap)
+            y += 30
+        pages.append(PageSpec(texts=texts, images=images))
+    return make_pdf(pages), " ".join(all_text)
+
+
+def gen_page(seed: int, doc_id: int) -> tuple[str, dt.datetime, bytes, str, str]:
+    """One pages-row as a pure function of (seed, doc_id)."""
+    r = _rng(seed, doc_id)
+    host = r.choice(HOSTS)
+    lang = r.choice(LANGS)
+    ts = EPOCH + dt.timedelta(seconds=(doc_id * 137) % (86400 * 90))
+    if r.random() < 0.15:
+        payload, crawl_text = _pdf_doc(r, doc_id)
+        url = f"https://{host}/docs/{doc_id}.pdf"
+    else:
+        html, crawl_text = _html_doc(r, doc_id)
+        payload = html.encode("utf-8")
+        url = f"https://{host}/page/{doc_id}"
+    return url, ts, payload, crawl_text, lang
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def synth_pages(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed deterministic corpus: spark.range → mapInPandas, no shuffle."""
+    if partitions is None:
+        partitions = max(4, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [gen_page(seed, int(i)) for i in b["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
+
+
+def write_pages(spark, path: str, n_docs: int, seed: int = 42,
+                partitions: int | None = None) -> None:
+    synth_pages(spark, n_docs, seed, partitions).write.mode("overwrite").parquet(path)
+
+
+def read_pages(spark, path: str):
+    return spark.read.parquet(path)

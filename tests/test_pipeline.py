@@ -1,0 +1,160 @@
+"""End-to-end Spark pipeline: source → extract → sinks → resume.
+
+Covers SURVEY.md §3.1's restatement plus the north_rule requirements:
+determinism across parallelism, manifest lineage, anti-join resume."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from qwen_ocr_spark.operators.extract import (
+    extract_pages,
+    figures_table,
+    job_totals,
+)
+from qwen_ocr_spark.sinks.manifest import resume_filter, write_output
+from qwen_ocr_spark.sources.pages import gen_page, synth_pages
+
+N_DOCS = 60
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, N_DOCS, seed=42, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def out(spark, pages):
+    return extract_pages(pages, partitions=4).cache()
+
+
+def test_source_schema_and_determinism(spark, pages):
+    assert pages.count() == N_DOCS
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang"]
+    # regeneration is byte-identical
+    again = synth_pages(spark, N_DOCS, seed=42, partitions=2)
+    a = {r["url"]: r["html"] for r in pages.collect()}
+    b = {r["url"]: r["html"] for r in again.collect()}
+    assert a == b
+    # different seed differs
+    other = synth_pages(spark, N_DOCS, seed=7, partitions=2)
+    c = {r["url"]: r["html"] for r in other.collect()}
+    assert a != c
+
+
+def test_source_has_skew_and_both_kinds(pages):
+    hosts = (
+        pages.withColumn("host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+        .groupBy("host").count().collect()
+    )
+    top = max(r["count"] for r in hosts)
+    assert top >= 0.2 * N_DOCS  # hot domain
+    kinds = {r["url"].endswith(".pdf") for r in pages.select("url").collect()}
+    assert kinds == {True, False}
+
+
+def test_extract_end_to_end(out):
+    rows = out.collect()
+    assert len(rows) == N_DOCS
+    ok = [r for r in rows if r["error"] is None]
+    assert len(ok) == N_DOCS  # synthetic corpus fully parseable
+    nonempty = [r for r in ok if r["markdown"]]
+    assert len(nonempty) == N_DOCS
+    # every html doc keeps content and drops chrome
+    for r in ok:
+        if r["doc_kind"] == "html":
+            assert "Sponsored" not in r["markdown"]
+            assert "Copyright 2026" not in r["markdown"]
+            assert r["n_blocks_dropped"] > 0
+        assert r["digest"] is not None and len(r["digest"]) == 64
+    pdfs = [r for r in ok if r["doc_kind"] == "pdf"]
+    assert pdfs and all(r["n_pages"] >= 1 for r in pdfs)
+    assert any(r["image_tokens"] > 0 for r in pdfs)
+
+
+def test_extract_determinism_across_parallelism(spark, pages, out):
+    # same input, different partitioning/salt → byte-identical digests per url
+    out2 = extract_pages(pages, partitions=2, salt=99)
+    d1 = {r["url"]: r["digest"] for r in out.select("url", "digest").collect()}
+    d2 = {r["url"]: r["digest"] for r in out2.select("url", "digest").collect()}
+    assert d1 == d2
+
+
+def test_figures_table_explodes(out):
+    figs = figures_table(out)
+    rows = figs.collect()
+    assert rows, "synthetic corpus should contain figures"
+    for r in rows:
+        x1, y1, x2, y2 = r["bbox"]
+        assert 0 <= x1 < x2 <= 1000 and 0 <= y1 < y2 <= 1000
+        area = (x2 - x1) * (y2 - y1) / 1e6
+        assert 0.05 <= area <= 0.85
+        assert r["fig_number"] >= 1
+        assert r["element_type"] in {"chart", "graph", "diagram", "algorithm",
+                                     "table", "screenshot", "other"}
+    # pdf figures carry real payload bytes
+    pdf_figs = [r for r in rows if r["url"].endswith(".pdf")]
+    if pdf_figs:
+        assert any(len(r["png"] or b"") > 0 for r in pdf_figs)
+
+
+def test_job_totals(out):
+    t = job_totals(out).collect()[0]
+    assert t["documents"] == N_DOCS
+    assert t["total_pages"] >= N_DOCS
+    assert t["errors"] == 0
+    assert t["total_cost"] == 0.0
+
+
+def test_error_channel_bad_payload(spark):
+    bad = spark.createDataFrame(
+        pd.DataFrame({
+            "url": ["https://x/bad.pdf", "https://x/ok"],
+            "warc_ts": pd.to_datetime(["2026-01-01", "2026-01-01"]),
+            "html": [b"%PDF-1.4 then total garbage", b"<body><p>Nine words of fine content in a paragraph.</p></body>"],
+            "text": ["", ""],
+            "lang": ["en", "en"],
+        })
+    )
+    rows = {r["url"]: r for r in extract_pages(bad, partitions=1).collect()}
+    # truncated pdf parses to zero pages → empty output, not a job failure
+    assert rows["https://x/bad.pdf"]["markdown"] in ("", None)
+    assert "Nine words" in rows["https://x/ok"]["markdown"]
+
+
+def test_write_manifest_and_resume(spark, pages, out, tmp_path):
+    out_path = str(tmp_path / "out")
+    man_path = str(tmp_path / "manifest")
+
+    # first run commits only half the input
+    half = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    write_output(extract_pages(half, partitions=2), out_path, man_path, "run1")
+    n_half = spark.read.parquet(out_path).count()
+    assert 0 < n_half < N_DOCS
+
+    # resume: only the un-committed rows remain
+    remaining = resume_filter(pages, out_path)
+    assert remaining.count() == N_DOCS - n_half
+
+    write_output(extract_pages(remaining, partitions=2), out_path, man_path, "run2")
+    final = spark.read.parquet(out_path)
+    assert final.count() == N_DOCS
+    assert final.select("url").distinct().count() == N_DOCS
+
+    # resumed result identical to a single-shot run
+    oneshot = {r["url"]: r["digest"] for r in out.select("url", "digest").collect()}
+    resumed = {r["url"]: r["digest"] for r in final.select("url", "digest").collect()}
+    assert oneshot == resumed
+
+    # manifest lineage exists and counts add up
+    man = spark.read.parquet(man_path)
+    assert man.agg(F.sum("row_count")).collect()[0][0] >= N_DOCS
+    assert set(man.columns) == {"partition_id", "row_count", "content_digest",
+                                "run_id", "committed_at"}
+
+
+def test_gen_page_pure_function():
+    a = gen_page(42, 7)
+    b = gen_page(42, 7)
+    assert a == b
