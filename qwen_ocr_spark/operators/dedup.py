@@ -1,0 +1,160 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale-first shapes (the 100 TB rationale, per operator):
+
+* exact      — one hash-aggregate on md5(text): a single shuffle keyed by a
+               16-byte digest, map-side partial agg; no text moves twice.
+* minhash    — shingle explode → per-doc min-aggregate per hash slot (k
+               independent permutations approximated by seeded md5) → LSH
+               band join.  Candidate pairs only: documents never pairwise
+               compare unless a band collides, which is what keeps it
+               sub-quadratic at corpus scale.
+* simhash    — 32-bit signature from per-token md5 high bits; a hamming-
+               radius self-join on the signature prefix buckets.
+* ngram      — exact Jaccard on distinct word 3-grams computed via a
+               shingle-key equi-join (co-shingle counting), never a cross
+               join; the join key is the shingle, so skewy common shingles
+               are the salting axis.
+
+Everything is built-in-function SQL (md5/least/greatest/window) — no Python
+UDFs — and every operator has an exact DuckDB oracle in __spark_entry__.py
+because md5 is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_SLOTS = 8
+MINHASH_BANDS = 4  # 2 slots per band
+SHINGLE_N = 3
+
+
+def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one representative (min id) per distinct text."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_md5"), F.col(id_col))
+          .groupBy("text_md5")
+          .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = SHINGLE_N) -> DataFrame:
+    """Distinct word n-gram shingles per document (explode, no Python).
+
+    Sliding window over the whitespace token array via transform+slice on
+    indices — stays in codegen."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+          .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
+                       slots: int = MINHASH_SLOTS) -> DataFrame:
+    """k-slot MinHash: slot_i = min(md5(i || '|' || shingle)) per document.
+
+    Seeded md5 approximates k independent hash permutations and is
+    bit-identical across engines (the oracle property)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(f"mh{i}")
+        for i in range(slots)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        slots: int = MINHASH_SLOTS,
+                        bands: int = MINHASH_BANDS) -> DataFrame:
+    """Band the signature, self-join per band, emit distinct (a < b) pairs."""
+    rows_per_band = slots // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.concat_ws("|", F.lit(str(b)), *parts).alias(f"band{b}"))
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
+    )
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    return (
+        left.join(right, on="band_key")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash as a '0'/'1' string (MSB first).
+
+    Bit j of a token = high bit of hex digit j of md5(token) (a hex digit
+    >= '8' lexicographically).  Signature bit j = majority vote weighted by
+    token frequency.  String-domain trick keeps it engine-portable."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.md5(F.col("tok").cast("binary"))
+    votes = [
+        F.sum(
+            F.when(F.substring(h, j + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(32)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    bits = F.concat(*[
+        F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(32)
+    ])
+    return agg.select(F.col(id_col), bits.alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = SHINGLE_N,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs above threshold.
+
+    inter(a,b) via a shingle-key equi-join; |A|,|B| via per-doc counts;
+    J = inter / (|A| + |B| - inter).  Only co-shingled pairs materialize."""
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, on="shingle")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    # sizes are per-doc aggregates: small relative to the shingle join —
+    # AQE promotes these to broadcast when they fit
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard_e4",
+            F.floor(
+                F.col("inter") * 10000.0
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).cast("bigint"),
+        )
+        .where(F.col("jaccard_e4") >= int(threshold * 10000))
+        .select("id_a", "id_b", "jaccard_e4")
+    )

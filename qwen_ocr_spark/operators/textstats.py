@@ -1,0 +1,125 @@
+"""Text-analysis operators over a document corpus — all JVM-side.
+
+Training-data pipeline primitives (language ID, quality scoring, token
+counting, fingerprinting) expressed entirely in built-in
+``pyspark.sql.functions`` so they run inside whole-stage codegen with zero
+Python in the hot path.  Each has an exact ANSI-SQL oracle in
+``__spark_entry__.py``.
+
+These extend the reference's scope (it processes one PDF at a time); they
+are the operations the same engine needs when the corpus is 10^12 rows of
+crawl text (BASELINE.json category: extraction / webtext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword markers per language for the n-gram/stopword language heuristic.
+# Deliberately tiny and frozen: the point is deterministic, cheap, JVM-side
+# classification, not linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" la ", " y ", " los "],
+}
+
+EN_STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "it", "that", "for"]
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    """Occurrences of a literal substring, vectorized: (len(s) - len(remove(s))) / len(needle)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language marker counts,
+    'und' (undetermined) when all are zero.  CJK presence short-circuits to
+    'zh'.  Ties break by fixed language order (en, de, fr, es)."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = [
+        F.struct(
+            sum((_count_occurrences(padded, m) for m in markers), F.lit(0)).alias("score"),
+            F.lit(i).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, markers) in enumerate(LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*[
+        s.withField("prio", F.lit(len(LANG_MARKERS)) - s.getField("prio")) for s in scores
+    ]))
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    return df.withColumn(
+        "pred_lang",
+        F.when(has_cjk, F.lit("zh"))
+         .when(best.getField("score") <= 0, F.lit("und"))
+         .otherwise(best.getField("lang")),
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate
+    (words + ceil(chars/4) averaged) — both pure column expressions."""
+    trimmed = F.trim(F.col(text_col))
+    words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    subword_est = F.ceil(F.length(trimmed) / F.lit(4.0)).cast("bigint")
+    return (
+        df.withColumn("n_tokens", words.cast("bigint"))
+          .withColumn("n_subtokens_est", subword_est)
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + score in [0,1]:
+
+    * length_score: min(1, chars/500)
+    * alpha_ratio:  alphabetic+space chars / chars
+    * stopword_ratio: english stopword tokens / tokens (capped at 0.5, scaled)
+    * score = 0.4*length + 0.4*alpha + 0.2*stop
+
+    All four are emitted as ``*_e4`` bigints (floor(x * 10000)): floor on an
+    identical double is engine-exact, where round(x, 4) is not (HALF_UP vs
+    bankers' rounding ambiguity) — the DuckDB oracle must hash-match.
+    """
+    t = F.col(text_col)
+    chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z ]", ""))
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = sum(
+        (_count_occurrences(padded, f" {w} ") for w in EN_STOPWORDS), F.lit(0)
+    )
+    trimmed = F.trim(t)
+    words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    length_score = F.least(F.lit(1.0), chars / F.lit(500.0))
+    alpha_ratio = F.when(chars == 0, F.lit(0.0)).otherwise(alpha / chars)
+    stop_ratio = F.when(words == 0, F.lit(0.0)).otherwise(
+        F.least(F.lit(0.5), stop_hits / words) * 2.0
+    )
+    def e4(c):
+        return F.floor(c * 10000).cast("bigint")
+
+    return (
+        df.withColumn("length_score_e4", e4(length_score))
+          .withColumn("alpha_ratio_e4", e4(alpha_ratio))
+          .withColumn("stopword_score_e4", e4(stop_ratio))
+          .withColumn(
+              "quality_score_e4",
+              e4(0.4 * length_score + 0.4 * alpha_ratio + 0.2 * stop_ratio),
+          )
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization fingerprint: md5 of lower(collapse_ws(trim(text))) —
+    the exact-dup key that survives whitespace/case jitter."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn("fingerprint", F.md5(norm.cast("binary")))

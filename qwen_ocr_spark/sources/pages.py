@@ -210,3 +210,65 @@ def write_pages(spark, path: str, n_docs: int, seed: int = 42,
 
 def read_pages(spark, path: str):
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# documents → pages bridge (driver-testdata adapter)
+# ---------------------------------------------------------------------------
+
+def _bridge_html(doc_id: int, text: str) -> bytes:
+    """Deterministic minimal page: nav/footer chrome + '# Doc {id}' + body.
+
+    The extraction result is provably 'Doc {id}\\n{text}' (extracted_text),
+    which is what lets __spark_entry__ give the FULL pipeline an exact SQL
+    oracle."""
+    t = html_mod.escape(text)
+    return (
+        "<!doctype html><html><head><title>d</title></head><body>"
+        '<nav><ul><li><a href="/h">Home</a></li><li><a href="/a">About</a></li></ul></nav>'
+        f"<article><h1>Doc {doc_id}</h1><p>{t}</p></article>"
+        '<footer><p>Copyright 2026 <a href="/t">Terms</a></p></footer>'
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def _bridge_pdf(doc_id: int, text: str) -> bytes:
+    """Same logical document as _bridge_html, as a PDF: 'Doc {id}' title at
+    20pt + body wrapped at 55 chars/line, spilling to new pages at y>720."""
+    pages: list[PageSpec] = [PageSpec(texts=[TextSpec(72, 60, 20, f"Doc {doc_id}")])]
+    y = 120.0
+    line = ""
+    for w in text.split(" "):
+        if len(line) + len(w) + 1 > 55:
+            pages[-1].texts.append(TextSpec(72, y, 12, line))
+            y += 16
+            if y > 720:
+                pages.append(PageSpec())
+                y = 80.0
+            line = w
+        else:
+            line = (line + " " + w).strip()
+    if line:
+        pages[-1].texts.append(TextSpec(72, y, 12, line))
+    return make_pdf(pages)
+
+
+def pages_from_documents(docs_df, pdf_every: int = 7):
+    """documents(doc_id, text, lang, ...) → pages rows, deterministically:
+    doc_id % pdf_every == 0 becomes a PDF payload, the rest HTML."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
+                doc_id = int(doc_id)
+                if doc_id % pdf_every == 0:
+                    payload = _bridge_pdf(doc_id, text)
+                    url = f"https://docs.example.com/{doc_id}.pdf"
+                else:
+                    payload = _bridge_html(doc_id, text)
+                    url = f"https://docs.example.com/{doc_id}"
+                ts = EPOCH + dt.timedelta(seconds=doc_id)
+                rows.append((url, ts, payload, text, lang))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs_df.select("doc_id", "text", "lang").mapInPandas(gen, schema=PAGES_SCHEMA)
