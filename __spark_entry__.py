@@ -268,12 +268,15 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents plus mirrored duplicates (doc_id+1000000 for doc_id%10==0)
-    so dedup joins have guaranteed positives."""
+    so dedup joins have guaranteed positives.  Repartitioned up front: the
+    single-file parquet would otherwise serialize the shingle explode."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mirror = docs.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    return docs.unionAll(mirror)
+    return docs.unionAll(mirror).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,7 +284,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dedup.word_shingles(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    sh = dedup.word_shingles(docs)
     sigs = dedup.minhash_signatures(sh)
     return sigs.select(
         "doc_id",
@@ -296,7 +301,9 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash32(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return dedup.simhash32(docs)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

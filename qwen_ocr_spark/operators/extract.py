@@ -122,16 +122,20 @@ def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def extract_pages(pages_df: DataFrame, *, salt: int = 0,
                   partitions: int | None = None,
-                  lang: str | None = None) -> DataFrame:
+                  lang: str | None = None,
+                  repartition: bool = True) -> DataFrame:
     """pages → out.  Optional predicate-pushdown lang filter; explicit
     salted repartition by url-hash before the UDF (skew strategy per
-    SURVEY.md §4)."""
+    SURVEY.md §4).  Pass ``repartition=False`` when the input is already
+    well balanced (e.g. a freshly bucketed/synthesized corpus) to skip the
+    payload shuffle entirely — scan partitions feed the UDF directly."""
     df = pages_df
     if lang is not None:
         df = df.filter(F.col("lang") == lang)  # pushed to the scan
     df = df.select("url", "warc_ts", "html")   # column pruning: never read text
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(n, F.xxhash64(F.col("url"), F.lit(salt)))
+    if repartition:
+        n = partitions or df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(n, F.xxhash64(F.col("url"), F.lit(salt)))
     return df.mapInPandas(_extract_iter, schema=OUT_SCHEMA)
 
 

@@ -119,8 +119,8 @@ def _html_doc(r: random.Random, doc_id: int) -> tuple[str, str]:
     return html, crawl_text
 
 
-def _pdf_doc(r: random.Random, doc_id: int) -> tuple[bytes, str]:
-    n_pages = r.randint(1, 14)
+def _pdf_doc(r: random.Random, doc_id: int, max_pages: int = 14) -> tuple[bytes, str]:
+    n_pages = r.randint(1, max_pages)
     title = _sentence(r, r.randint(3, 6)).rstrip(".")
     pages: list[PageSpec] = []
     all_text: list[str] = [title]
@@ -166,14 +166,20 @@ def _pdf_doc(r: random.Random, doc_id: int) -> tuple[bytes, str]:
     return make_pdf(pages), " ".join(all_text)
 
 
-def gen_page(seed: int, doc_id: int) -> tuple[str, dt.datetime, bytes, str, str]:
-    """One pages-row as a pure function of (seed, doc_id)."""
+def gen_page(seed: int, doc_id: int,
+             profile: str = "default") -> tuple[str, dt.datetime, bytes, str, str]:
+    """One pages-row as a pure function of (seed, doc_id).
+
+    ``profile='heavy'`` skews toward large multi-page PDFs (50% PDF, up to
+    30 pages) — used by the scaling benchmark so per-document compute
+    dominates fixed per-job overhead."""
     r = _rng(seed, doc_id)
     host = r.choice(HOSTS)
     lang = r.choice(LANGS)
     ts = EPOCH + dt.timedelta(seconds=(doc_id * 137) % (86400 * 90))
-    if r.random() < 0.15:
-        payload, crawl_text = _pdf_doc(r, doc_id)
+    pdf_prob, max_pages = (0.5, 30) if profile == "heavy" else (0.15, 14)
+    if r.random() < pdf_prob:
+        payload, crawl_text = _pdf_doc(r, doc_id, max_pages)
         url = f"https://{host}/docs/{doc_id}.pdf"
     else:
         html, crawl_text = _html_doc(r, doc_id)
@@ -185,14 +191,15 @@ def gen_page(seed: int, doc_id: int) -> tuple[str, dt.datetime, bytes, str, str]
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def synth_pages(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+def synth_pages(spark, n_docs: int, seed: int = 42,
+                partitions: int | None = None, profile: str = "default"):
     """Distributed deterministic corpus: spark.range → mapInPandas, no shuffle."""
     if partitions is None:
         partitions = max(4, spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [gen_page(seed, int(i)) for i in b["id"]]
+            rows = [gen_page(seed, int(i), profile) for i in b["id"]]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
@@ -204,8 +211,9 @@ def synth_pages(spark, n_docs: int, seed: int = 42, partitions: int | None = Non
 
 
 def write_pages(spark, path: str, n_docs: int, seed: int = 42,
-                partitions: int | None = None) -> None:
-    synth_pages(spark, n_docs, seed, partitions).write.mode("overwrite").parquet(path)
+                partitions: int | None = None, profile: str = "default") -> None:
+    synth_pages(spark, n_docs, seed, partitions, profile) \
+        .write.mode("overwrite").parquet(path)
 
 
 def read_pages(spark, path: str):
@@ -255,7 +263,14 @@ def _bridge_pdf(doc_id: int, text: str) -> bytes:
 
 def pages_from_documents(docs_df, pdf_every: int = 7):
     """documents(doc_id, text, lang, ...) → pages rows, deterministically:
-    doc_id % pdf_every == 0 becomes a PDF payload, the rest HTML."""
+    doc_id % pdf_every == 0 becomes a PDF payload, the rest HTML.
+
+    The input is repartitioned to the session's parallelism first: the
+    documents parquet is often a single file (one partition), and payload
+    generation is CPU-bound — without the explicit spread it would run on
+    one core."""
+    n = docs_df.sparkSession.sparkContext.defaultParallelism
+    docs_df = docs_df.repartition(n)
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []

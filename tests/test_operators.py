@@ -1,0 +1,121 @@
+"""Operator-level semantics tests for dedup / similarity / textstats
+(beyond the oracle harness: behavioral properties like LSH recall)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from qwen_ocr_spark.operators import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river edge"),  # near dup of 1
+        (4, "completely different content about spark query optimization and shuffles"),
+        (5, "der hund und die katze und der vogel und die maus sind hier"),
+        (6, "la casa y los gatos y la puerta y los perros grandes"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dups_groups_identical_text(docs):
+    res = {r["text_md5"]: r for r in dedup.exact_dups(docs).collect()}
+    groups = [r for r in res.values() if r["dup_count"] == 2]
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1
+
+
+def test_shingles_short_doc_empty(docs, spark):
+    sh = dedup.word_shingles(docs.where(F.col("doc_id") == 7))
+    assert sh.count() == 0
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    sh = dedup.word_shingles(docs)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh)).collect()}
+    assert (1, 2) in pairs           # identical signature, every band collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup should band-collide
+    assert (1, 4) not in pairs       # unrelated docs don't collide on all bands
+
+
+def test_ngram_jaccard_values(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_e4"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 10000    # identical
+    assert (1, 4) not in pairs
+    near = pairs.get((1, 3))
+    assert near is not None and 5000 <= near < 10000
+
+
+def test_simhash_similar_docs_close(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(docs).collect()}
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+    assert ham(sigs[1], sigs[2]) == 0
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+
+
+def test_lang_id_on_crafted_texts(docs):
+    preds = {r["doc_id"]: r["pred_lang"]
+             for r in textstats.with_lang_id(docs).collect()}
+    assert preds[1] == "en"
+    assert preds[5] == "de"
+    assert preds[6] == "es"
+    assert preds[7] == "und"
+
+
+def test_token_count_edges(docs):
+    t = {r["doc_id"]: (r["n_tokens"], r["n_subtokens_est"])
+         for r in textstats.with_token_count(docs).collect()}
+    assert t[7] == (0, 0)
+    assert t[1][0] == 13
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "other")],
+        columns=["doc_id", "text"]))
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in textstats.with_fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+    rows = []
+    for i in range(40):
+        base = [math.sin(0.1 * i * (d + 1)) for d in range(16)]
+        rows.append((i, base))
+    # 100 and 101: near-identical to 0
+    v0 = rows[0][1]
+    rows.append((100, [x + 0.001 for x in v0]))
+    rows.append((101, list(v0)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+
+def test_cosine_topk_exact(emb):
+    res = similarity.cosine_topk(emb, [0], k=3).collect()
+    ids = [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert ids[0] == 101      # identical vector first (cos = 1)
+    assert 100 in ids[:2]
+    assert all(r["score_e6"] <= 1_000_000 for r in res)
+
+
+def test_lsh_topk_recall_on_near_dups(emb):
+    res = similarity.lsh_bucketed_topk(emb, [0], k=3).collect()
+    ids = {r["neighbor_id"] for r in res}
+    # identical / epsilon-perturbed vectors share every sign bucket
+    assert 101 in ids and 100 in ids
+
+
+def test_embedding_near_dups_finds_pair(emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.embedding_near_dups(emb, threshold_e6=999_000).collect()}
+    assert (0, 101) in pairs and (0, 100) in pairs
