@@ -37,7 +37,11 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Zero-norm-safe cosine: NULL when either vector has zero norm
+    (ANSI mode makes a bare division throw on zero divisors; a zero vector
+    has no direction, so NULL — which every consumer filters — is correct)."""
+    den = _norm(a) * _norm(b)
+    return F.when(den == 0.0, F.lit(None)).otherwise(_dot(a, b) / den)
 
 
 def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
@@ -60,6 +64,7 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
             "query_id", "neighbor_id",
             F.floor(cosine(F.col("qv"), F.col("nv")) * 1e6).cast("bigint").alias("score_e6"),
         )
+        .where(F.col("score_e6").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_e6"), F.asc("neighbor_id")
@@ -119,6 +124,7 @@ def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
             "query_id", "neighbor_id",
             F.floor(cosine(F.col("qv"), F.col("nv")) * 1e6).cast("bigint").alias("score_e6"),
         )
+        .where(F.col("score_e6").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"), F.asc("neighbor_id"))
     return (
@@ -142,5 +148,5 @@ def embedding_near_dups(emb: DataFrame, threshold_e6: int = 999_000,
             "id_a", "id_b",
             F.floor(cosine(F.col("va"), F.col("vb")) * 1e6).cast("bigint").alias("score_e6"),
         )
-        .where(F.col("score_e6") >= threshold_e6)
+        .where(F.col("score_e6").isNotNull() & (F.col("score_e6") >= threshold_e6))
     )

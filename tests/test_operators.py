@@ -89,27 +89,29 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
 def emb(spark):
     import math
     rows = []
-    for i in range(40):
+    for i in range(1, 40):
         base = [math.sin(0.1 * i * (d + 1)) for d in range(16)]
         rows.append((i, base))
-    # 100 and 101: near-identical to 0
-    v0 = rows[0][1]
-    rows.append((100, [x + 0.001 for x in v0]))
-    rows.append((101, list(v0)))
+    # 100 and 101: near-identical to 1
+    v1 = rows[0][1]
+    rows.append((100, [x + 0.001 for x in v1]))
+    rows.append((101, list(v1)))
+    rows.append((999, [0.0] * 16))  # zero vector: must be ignored, not crash
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=["vec_id", "embedding"]))
 
 
 def test_cosine_topk_exact(emb):
-    res = similarity.cosine_topk(emb, [0], k=3).collect()
+    res = similarity.cosine_topk(emb, [1], k=3).collect()
     ids = [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])]
     assert ids[0] == 101      # identical vector first (cos = 1)
     assert 100 in ids[:2]
+    assert 999 not in ids     # zero-norm vector dropped, no crash
     assert all(r["score_e6"] <= 1_000_000 for r in res)
 
 
 def test_lsh_topk_recall_on_near_dups(emb):
-    res = similarity.lsh_bucketed_topk(emb, [0], k=3).collect()
+    res = similarity.lsh_bucketed_topk(emb, [1], k=3).collect()
     ids = {r["neighbor_id"] for r in res}
     # identical / epsilon-perturbed vectors share every sign bucket
     assert 101 in ids and 100 in ids
@@ -118,4 +120,4 @@ def test_lsh_topk_recall_on_near_dups(emb):
 def test_embedding_near_dups_finds_pair(emb):
     pairs = {(r["id_a"], r["id_b"]) for r in
              similarity.embedding_near_dups(emb, threshold_e6=999_000).collect()}
-    assert (0, 101) in pairs and (0, 100) in pairs
+    assert (1, 101) in pairs and (1, 100) in pairs
