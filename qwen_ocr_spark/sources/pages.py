@@ -192,8 +192,11 @@ PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang st
 
 
 def synth_pages(spark, n_docs: int, seed: int = 42,
-                partitions: int | None = None, profile: str = "default"):
-    """Distributed deterministic corpus: spark.range → mapInPandas, no shuffle."""
+                partitions: int | None = None, profile: str = "default",
+                start: int = 0):
+    """Distributed deterministic corpus: spark.range → mapInPandas, no
+    shuffle.  ``start`` offsets doc ids (urls are keyed by doc id, so
+    disjoint ranges give disjoint urls — append scenarios)."""
     if partitions is None:
         partitions = max(4, spark.sparkContext.defaultParallelism)
 
@@ -205,7 +208,7 @@ def synth_pages(spark, n_docs: int, seed: int = 42,
             )
 
     return (
-        spark.range(0, n_docs, numPartitions=partitions)
+        spark.range(start, start + n_docs, numPartitions=partitions)
         .mapInPandas(gen, schema=PAGES_SCHEMA)
     )
 

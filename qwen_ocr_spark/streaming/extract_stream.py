@@ -1,0 +1,65 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference is strictly batch-per-document (SURVEY.md §2.8 — no
+watermarks, no event-time state), so streaming is an INGEST mode, not new
+semantics: ``readStream`` over the pages table directory → the exact same
+``extract_pages`` transformation inside ``foreachBatch`` → append output +
+manifest per micro-batch.  ``foreachBatch`` keeps batch semantics unchanged
+(one deterministic function of the rows), the streaming checkpoint replaces
+the anti-join resume for already-SEEN files, and the manifest keeps row
+lineage as in batch mode.
+
+``events_hourly_stream`` is the watermarked event-time aggregation analog
+of __spark_entry__'s ``events_hourly`` — late data beyond 2 hours dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qwen_ocr_spark.operators.extract import extract_pages
+from qwen_ocr_spark.sinks.manifest import write_output
+from qwen_ocr_spark.sources.pages import PAGES_SCHEMA
+
+
+def stream_extract(spark: SparkSession, input_dir: str, out_path: str,
+                   manifest_path: str, checkpoint: str,
+                   available_now: bool = True):
+    """Incrementally extract new page files as they land in ``input_dir``.
+
+    Returns the started StreamingQuery; with ``available_now`` the query
+    drains everything currently available and stops (test/batch-catchup
+    mode) — in production the same call runs continuously.
+    """
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_pages(batch_df)
+        write_output(out, out_path, manifest_path, run_id=f"stream-{batch_id}")
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def events_hourly_stream(events_stream: DataFrame) -> DataFrame:
+    """Watermarked tumbling-hour aggregation (event-time; late > 2h dropped)."""
+    return (
+        events_stream
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+              .alias("sum_value_e4"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n",
+                "sum_value_e4")
+    )

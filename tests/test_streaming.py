@@ -1,0 +1,70 @@
+"""Streaming ingest: incremental extraction with checkpointed exactly-once
+file tracking, and the watermarked event-time aggregation."""
+
+from pyspark.sql import functions as F
+
+from qwen_ocr_spark.sources.pages import synth_pages
+from qwen_ocr_spark.streaming.extract_stream import (
+    events_hourly_stream,
+    stream_extract,
+)
+
+
+def test_stream_extract_incremental(spark, tmp_path):
+    in_dir = str(tmp_path / "pages_in")
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest")
+    ckpt = str(tmp_path / "ckpt")
+
+    # chunk 1 lands
+    synth_pages(spark, 30, seed=42, partitions=2).write.mode("append").parquet(in_dir)
+    q = stream_extract(spark, in_dir, out, man, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 30
+
+    # chunk 2 (disjoint doc ids) lands; checkpoint ensures chunk 1 is NOT
+    # reprocessed
+    synth_pages(spark, 60, seed=42, partitions=2, start=1000).write.mode("append").parquet(in_dir)
+    q = stream_extract(spark, in_dir, out, man, ckpt)
+    q.awaitTermination(180)
+    final = spark.read.parquet(out)
+    assert final.count() == 30 + 60
+    assert final.select("url").distinct().count() == 90
+    # manifest rows exist for both stream runs
+    man_df = spark.read.parquet(man)
+    assert man_df.where(F.col("run_id").startswith("stream-")).count() > 0
+
+
+def test_events_hourly_stream_watermark(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "evckpt")
+    outdir = str(tmp_path / "evout")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = events_hourly_stream(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet").option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(outdir)
+    # append mode emits only watermark-closed windows; in a finite drain the
+    # tail window may be withheld — compare against the batch oracle modulo
+    # the last open hour
+    batch = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour_start"),
+                   "event_type")
+          .agg(F.count("*").alias("n"))
+    )
+    max_hour = batch.agg(F.max("hour_start")).collect()[0][0]
+    closed = batch.where(F.col("hour_start") < max_hour)
+    got_closed = got.where(F.col("hour_start") < max_hour)
+    b = {(r["hour_start"], r["event_type"]): r["n"] for r in closed.collect()}
+    g = {(r["hour_start"], r["event_type"]): r["n"] for r in got_closed.collect()}
+    # every closed window the stream emitted matches the batch count
+    assert g and all(b.get(k) == v for k, v in g.items())
