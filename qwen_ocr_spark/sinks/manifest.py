@@ -59,6 +59,14 @@ def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
     manifest.write.mode("append").parquet(manifest_path)
 
 
+def write_figures(out_df: DataFrame, figures_path: str) -> None:
+    """Append the exploded figures side-output (analog of the reference's
+    images/{page}_fig{n}.png directory, keyed (url, page_number,
+    fig_number) — /root/reference/src/models/extracted_image.py:34-43)."""
+    from qwen_ocr_spark.operators.extract import figures_table
+    figures_table(out_df).write.mode("append").parquet(figures_path)
+
+
 def committed_urls(spark: SparkSession, out_path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(out_path).select("url")
