@@ -262,6 +262,70 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join shape (TPC-H q4 analog on this schema): orders in a date
+    window having at least one deeply-discounted lineitem."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-07-01 00:00:00")
+        & (F.col("o_orderdate") < "1996-10-01 00:00:00")
+    )
+    disc = _t(spark, sf_dir, "lineitem") \
+        .where(F.col("l_discount") >= 0.09) \
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        o.join(disc, on="o_orderkey", how="left_semi")
+         .groupBy("o_orderpriority")
+         .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + conditional aggregation (CASE inside SUM)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .groupBy("l_linestatus")
+          .agg(F.sum(hi).alias("high_line_count"),
+               F.sum(1 - hi).alias("low_line_count"))
+    )
+
+
+def q_priority_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join shape: customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, on="c_custkey", how="left_anti")
+         .groupBy("c_mktsegment")
+         .agg(F.count("*").alias("n_custs_no_orders"))
+    )
+
+
+def q_supplier_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: distinct suppliers and parts per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over orders (engine capability check)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+         .agg(F.count("*").alias("n"),
+              F.sum(_e(F.col("o_totalprice"), 2)).alias("total_e2"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -443,6 +507,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
+        "orders_semi": q_orders_semi,
+        "customers_anti": q_priority_anti,
+        "supplier_distinct": q_supplier_distinct,
+        "orders_rollup": q_orders_rollup,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -668,6 +737,50 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
+"""
+
+    q["tpch_q12"] = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+    q["orders_semi"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+GROUP BY o_orderpriority
+"""
+
+    q["customers_anti"] = """
+SELECT c_mktsegment, count(*) AS n_custs_no_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+    q["supplier_distinct"] = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+    q["orders_rollup"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_e2
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
     q["dedup_exact"] = f"""
