@@ -158,3 +158,35 @@ def test_gen_page_pure_function():
     a = gen_page(42, 7)
     b = gen_page(42, 7)
     assert a == b
+
+
+def _formatted_plan(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_plan_pruning_and_pushdown(spark, tmp_path):
+    """Locks the scale claims: lang filter reaches the scan, crawl `text`
+    column never read, exactly one exchange (the salted repartition)."""
+    path = str(tmp_path / "pp")
+    synth_pages(spark, 20, seed=42, partitions=2).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = _formatted_plan(extract_pages(df, lang="en"))
+    assert "EqualTo(lang,en)" in plan          # predicate pushdown
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema           # column pruning
+    assert plan.count("Exchange") == 2         # one exchange node + its detail line
+
+
+def test_salted_repartition_balances_hot_domain(spark, pages):
+    """The synthetic corpus is host-skewed (FIXTURES.md §1); after the
+    salted url-hash repartition no partition holds more than ~2x the mean."""
+    rep = pages.select("url").repartition(8, F.xxhash64("url", F.lit(0)))
+    sizes = [
+        r["count"]
+        for r in rep.withColumn("pid", F.spark_partition_id())
+                    .groupBy("pid").count().collect()
+    ]
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 2.5 * mean
