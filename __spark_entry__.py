@@ -431,6 +431,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group: 3 longest documents per language."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= 3)
+            .select("lang", "doc_id", "n_chars", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # event-time operators
 # ---------------------------------------------------------------------------
@@ -524,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_running_total": q_events_running_total,
@@ -923,6 +935,16 @@ FROM g
 SELECT doc_id,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
 FROM documents
+"""
+
+    q["top_docs_per_lang"] = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, rk FROM r WHERE rk <= 3
 """
 
     q["events_hourly"] = """
