@@ -186,6 +186,8 @@ _PDF_UNESCAPE = {
 
 
 def _unescape_pdf_string(s: str) -> str:
+    if "\\" not in s:  # fast path: the overwhelmingly common case
+        return s
     out = []
     i = 0
     while i < len(s):
