@@ -76,26 +76,29 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
-def _plane_component(plane: int, dim_col) -> "F.Column":
-    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    (first 6 md5 hex digits of 'p|d' as int) / 16^6 - 0.5."""
-    h = F.md5(F.concat_ws("|", F.lit(str(plane)), dim_col.cast("string")).cast("binary"))
-    return F.conv(F.substring(h, 1, 6), 16, 10).cast("double") / F.lit(16777216.0) - 0.5
+def _plane(plane: int, dims: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component d in [-0.5, 0.5)
+    from the first 6 md5 hex digits of 'p|d'.  Computed once at PLAN time —
+    every engine/executor derives the identical plane, and the per-row work
+    is just a dot product against a literal array (no per-row hashing)."""
+    import hashlib
+    return [
+        int(hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[:6], 16) / 16777216.0 - 0.5
+        for d in range(dims)
+    ]
 
 
 def with_lsh_signature(emb: DataFrame, vec_col: str = "embedding",
-                       n_planes: int = N_PLANES) -> DataFrame:
+                       n_planes: int = N_PLANES, dims: int = 64) -> DataFrame:
     """Sign-LSH signature string: bit p = (dot(v, plane_p) >= 0)."""
     v = F.col(vec_col)
     bits = []
     for p in range(n_planes):
+        # literal plane, trimmed per-row to the vector's length so shorter
+        # embeddings don't zip against nulls
+        w = F.slice(F.array(*[F.lit(x) for x in _plane(p, dims)]), 1, F.size(v))
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(F.sequence(F.lit(0), F.size(v) - 1),
-                            lambda d: _plane_component(p, d)),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(v, w, lambda x, wc: x * wc),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
