@@ -1,0 +1,59 @@
+"""Production entry point: spark-submit --py-files qwen_ocr_spark.zip \
+    scripts/run_extract.py --pages <in> --out <out> --manifest <m> [...]
+
+Reads the pages table, drops already-committed urls (anti-join resume),
+runs the extraction, appends output + figures + per-partition manifest.
+Kill it at any point and re-run with the same arguments: committed work is
+never reprocessed (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import argparse
+import uuid
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="input pages parquet/table dir")
+    ap.add_argument("--out", required=True, help="output table dir")
+    ap.add_argument("--figures", default=None, help="figures side-output dir")
+    ap.add_argument("--manifest", required=True, help="manifest table dir")
+    ap.add_argument("--lang", default=None, help="optional lang pushdown filter")
+    ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--no-repartition", action="store_true",
+                    help="input already balanced; skip the salted shuffle")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from qwen_ocr_spark.operators.extract import extract_pages
+    from qwen_ocr_spark.plans.session import get_spark
+    from qwen_ocr_spark.sinks.manifest import (
+        resume_filter,
+        write_figures,
+        write_output,
+    )
+
+    spark = get_spark(master=args.master, app_name="qwen-ocr-spark-extract")
+    run_id = f"run-{uuid.uuid4().hex[:12]}"
+
+    pages = spark.read.parquet(args.pages)
+    todo = resume_filter(pages, args.out)
+    out = extract_pages(
+        todo, salt=args.salt, partitions=args.partitions, lang=args.lang,
+        repartition=not args.no_repartition,
+    )
+    if args.figures:
+        out = out.cache()
+    write_output(out, args.out, args.manifest, run_id)
+    if args.figures:
+        write_figures(out, args.figures)
+
+    done = spark.read.parquet(args.out)
+    print(f"{run_id}: committed total={done.count()} urls={done.select('url').distinct().count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
