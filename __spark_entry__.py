@@ -48,7 +48,9 @@ def q_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checkable because the bridge document's extracted text is
     provably 'Doc {id}\\n{text}' on both payload routes."""
     docs = _t(spark, sf_dir, "documents")
-    out = extract_pages(pages_from_documents(docs))
+    # the bridge already spreads generation across the cluster; re-shuffling
+    # freshly generated payloads would be a pure cost (repartition=False)
+    out = extract_pages(pages_from_documents(docs), repartition=False)
     return out.select(
         "url", "doc_kind", "digest",
         F.col("n_headers").cast("int").alias("n_headers"),
@@ -59,7 +61,7 @@ def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown output contract over the bridge corpus: the markdown is
     '# Doc {id}\\n\\n{text}' exactly."""
     docs = _t(spark, sf_dir, "documents")
-    out = extract_pages(pages_from_documents(docs))
+    out = extract_pages(pages_from_documents(docs), repartition=False)
     return out.select("url", F.md5(F.col("markdown").cast("binary")).alias("md_md5"))
 
 
@@ -397,8 +399,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucketed — rows-only check."""
-    return similarity.embedding_near_dups(_emb_double(spark, sf_dir),
+    """Embedding-cosine near-dup pairs, LSH-bucketed — rows-only check.
+    Mirrored copies (vec_id+1000000) guarantee positives (cosine = 1)."""
+    e = _emb_double(spark, sf_dir)
+    mirror = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return similarity.embedding_near_dups(e.unionAll(mirror),
                                           threshold_e6=950_000)
 
 
@@ -494,7 +501,7 @@ def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction over pages derived from sf0.001 documents."""
     docs = spark.read.parquet(f"{SF_DEFAULT}/documents.parquet")
-    out = extract_pages(pages_from_documents(docs))
+    out = extract_pages(pages_from_documents(docs), repartition=False)
     return out.select(
         "url", "warc_ts", "doc_kind", "markdown", "extracted_text", "digest",
         "n_pages", "n_headers", "n_blocks_kept", "n_blocks_dropped",
