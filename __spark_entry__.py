@@ -482,6 +482,22 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete median (lower) per event_type via window rank —
+    percentile semantics made engine-portable (no interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", _e(F.col("value"), 4).alias("value_e4"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return (
+        ranked.where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("value_e4").alias("median_e4"), "n")
+    )
+
+
 def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = (
@@ -544,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "top_docs_per_lang": q_top_docs_per_lang,
         "events_hourly": q_events_hourly,
+        "events_median": q_events_median,
         "events_sessionize": q_events_sessionize,
         "events_running_total": q_events_running_total,
     }
@@ -960,6 +977,18 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        sum(CAST(floor(value * 10000) AS BIGINT)) AS sum_value_e4
 FROM events
 GROUP BY 1, 2
+"""
+
+    q["events_median"] = """
+WITH r AS (
+  SELECT event_type,
+         CAST(floor(value * 10000) AS BIGINT) AS value_e4,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, value_e4 AS median_e4, n
+FROM r WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
 """
 
     q["events_sessionize"] = """
