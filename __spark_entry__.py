@@ -706,7 +706,7 @@ WITH t AS (
               * floor((200 + (p_partkey * 7) % 1800) / 28.0) AS BIGINT) AS tokens
   FROM part
 )
-SELECT p_brand, sum(tokens) AS total_tokens, count(*) AS n_parts
+SELECT p_brand, CAST(sum(tokens) AS BIGINT) AS total_tokens, count(*) AS n_parts
 FROM t GROUP BY p_brand
 """
 
@@ -718,18 +718,19 @@ FROM documents
 """
 
     q["job_totals"] = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-       sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+         AS total_tokens
 FROM documents GROUP BY lang
 """
 
     q["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_e2,
-       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_e2,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_e4,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS sum_charge_e4,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_e2,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) AS BIGINT) AS sum_charge_e4,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -738,7 +739,7 @@ GROUP BY l_returnflag, l_linestatus
 
     q["tpch_q3"] = """
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -752,7 +753,7 @@ LIMIT 10
 
     q["tpch_q5"] = """
 SELECT n_name,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -766,7 +767,7 @@ GROUP BY n_name
 """
 
     q["tpch_q6"] = """
-SELECT sum(CAST(floor(l_extendedprice * l_discount * 10000) AS BIGINT)) AS revenue_e4,
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -777,10 +778,10 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 
     q["tpch_q12"] = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -814,7 +815,7 @@ FROM lineitem GROUP BY l_returnflag
 
     q["orders_rollup"] = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_e2
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_e2
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -974,7 +975,7 @@ SELECT lang, doc_id, n_chars, rk FROM r WHERE rk <= 3
     q["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*) AS n,
-       sum(CAST(floor(value * 10000) AS BIGINT)) AS sum_value_e4
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
 FROM events
 GROUP BY 1, 2
 """
@@ -1008,9 +1009,9 @@ FROM g
 
     q["events_running_total"] = """
 SELECT event_id, user_id,
-       sum(CAST(floor(value * 10000) AS BIGINT))
-         OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS running_value_e4
 FROM events
 """
