@@ -66,14 +66,21 @@ def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Figures side-output of the real pipeline over the synthetic corpus —
-    not SQL-expressible (figure detection happens inside the parse), so this
-    is a rows-only check; golden pytest fixtures cover exact values."""
-    from qwen_ocr_spark.sources.pages import synth_pages
-    pages = synth_pages(spark, 200, seed=42)
-    out = extract_pages(pages)
+    """Figures side-output of the REAL pipeline (parse → bbox validity →
+    area filter → per-page numbering) over the figured bridge: every
+    document carries one figure whose bbox/type/caption are closed-form
+    arithmetic on doc_id, so this has an exact SQL oracle (was rows-only
+    in round 1 — VERDICT task 3)."""
+    from qwen_ocr_spark.sources.pages import pages_from_documents_figured
+    docs = _t(spark, sf_dir, "documents")
+    out = extract_pages(pages_from_documents_figured(docs), repartition=False)
     return figures_table(out).select(
-        "url", "page_number", "fig_number", "element_type", "caption",
+        "url", "page_number", "fig_number",
+        F.col("bbox").getItem(0).alias("x1"),
+        F.col("bbox").getItem(1).alias("y1"),
+        F.col("bbox").getItem(2).alias("x2"),
+        F.col("bbox").getItem(3).alias("y2"),
+        "element_type", "caption",
     )
 
 
@@ -332,21 +339,26 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup family
 # ---------------------------------------------------------------------------
 
-def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs2(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """documents plus mirrored duplicates (doc_id+1000000 for doc_id%10==0)
-    so dedup joins have guaranteed positives.  Repartitioned up front: the
-    single-file parquet would otherwise serialize the shingle explode."""
+    so dedup joins have guaranteed positives.  ``spread`` repartitions up
+    front for CPU-heavy consumers (shingle explode over a single-file
+    parquet would otherwise serialize); pure hash-aggregate consumers pass
+    spread=False — map-side partial agg needs no pre-shuffle."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mirror = docs.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    return docs.unionAll(mirror).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    both = docs.unionAll(mirror)
+    if spread:
+        both = both.repartition(spark.sparkContext.defaultParallelism)
+    return both
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dups(_docs2(spark, sf_dir))
+    # spread=False: md5 hash-agg does its own (tiny, 16-byte-key) shuffle;
+    # pre-repartitioning would move the full text twice (VERDICT r1 item 10)
+    return dedup.exact_dups(_docs2(spark, sf_dir, spread=False))
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,8 +384,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash32(docs)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-radius SimHash neighbor join (mirrored dups are distance-0
+    positives; chunk-bucket pigeonhole keeps it sub-quadratic)."""
+    return dedup.simhash_near_pairs(_docs2(spark, sf_dir))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.8)
+    return dedup.ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.8,
+                                     max_df=dedup.MAX_SHINGLE_DF)
 
 
 # ---------------------------------------------------------------------------
@@ -393,14 +412,16 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — Spark-only (deterministic hyperplanes via conv();
-    rows-only check; recall vs exact path asserted in tests)."""
+    """Banded-LSH ANN top-k: hyperplanes are plan-time literals derived from
+    md5, so the DuckDB oracle embeds the SAME planes as literal arrays and
+    the whole candidate-generation + re-rank is exactly hash-checked."""
     return similarity.lsh_bucketed_topk(_emb_double(spark, sf_dir), [0, 1, 2, 3, 4], k=5)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucketed — rows-only check.
-    Mirrored copies (vec_id+1000000) guarantee positives (cosine = 1)."""
+    """Embedding-cosine near-dup pairs over banded LSH candidates — exact
+    oracle (same literal hyperplanes as ann_lsh_topk).  Mirrored copies
+    (vec_id+1000000) guarantee positives (cosine = 1)."""
     e = _emb_double(spark, sf_dir)
     mirror = e.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
@@ -550,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -591,7 +613,8 @@ sig AS (SELECT doc_id, {slots} FROM sh GROUP BY doc_id)
 """
 
 
-def _simhash_sql() -> str:
+def _simhash_cte(src: str) -> str:
+    """CTE text ending with ``sig(doc_id, simhash)`` over table expr src."""
     votes = ",\n       ".join(
         f"sum(CASE WHEN substring(hh, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{j}"
         for j in range(32)
@@ -599,13 +622,39 @@ def _simhash_sql() -> str:
     bits = " || ".join(
         f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(32)
     )
-    return f"""
-WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-              FROM documents),
+    return f"""toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM {src}),
 h AS (SELECT doc_id, md5(tok) AS hh FROM toks WHERE tok <> ''),
-v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
-SELECT doc_id, {bits} AS simhash FROM v
-"""
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {bits} AS simhash FROM v)"""
+
+
+def _plane_literal_sql(p: int, dims: int = 64) -> str:
+    """The deterministic hyperplane as a DuckDB DOUBLE[] literal — the SAME
+    plan-time constants the Spark side embeds (similarity._plane), which is
+    what makes the banded-LSH queries exactly oracle-able."""
+    from qwen_ocr_spark.operators.similarity import _plane
+    return "[" + ",".join(repr(x) for x in _plane(p, dims)) + "]::DOUBLE[]"
+
+
+def _banded_sql(bands: int, rows: int) -> str:
+    """UNION ALL selects producing (vec_id, band_key) from CTE e(vec_id, v)."""
+    selects = []
+    for b in range(bands):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {_plane_literal_sql(b * rows + r)}) >= 0"
+            " THEN '1' ELSE '0' END)"
+            for r in range(rows)
+        )
+        selects.append(f"SELECT vec_id, '{b}|' || {bits} AS band_key FROM e")
+    return "\nUNION ALL\n".join(selects)
+
+
+_COS_SQL = ("CASE WHEN sqrt(list_dot_product(a.v, a.v))"
+            " * sqrt(list_dot_product(b.v, b.v)) = 0 THEN NULL"
+            " ELSE list_dot_product(a.v, b.v)"
+            " / (sqrt(list_dot_product(a.v, a.v))"
+            " * sqrt(list_dot_product(b.v, b.v))) END")
 
 
 _DOCS2 = """docs2 AS (
@@ -630,6 +679,19 @@ FROM documents
 SELECT CASE WHEN doc_id % 7 = 0 THEN 'https://docs.example.com/' || doc_id || '.pdf'
             ELSE 'https://docs.example.com/' || doc_id END AS url,
        md5('# Doc ' || doc_id || chr(10) || chr(10) || text) AS md_md5
+FROM documents
+"""
+
+    q["extract_figures"] = """
+SELECT 'https://docs.example.com/fig/' || doc_id AS url,
+       1 AS page_number, 1 AS fig_number,
+       CAST(doc_id % 300 AS INT) AS x1,
+       CAST((doc_id * 7) % 300 AS INT) AS y1,
+       CAST(doc_id % 300 + 400 + doc_id % 100 AS INT) AS x2,
+       CAST((doc_id * 7) % 300 + 350 + doc_id % 80 AS INT) AS y2,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'chart' WHEN 1 THEN 'graph'
+            ELSE 'diagram' END AS element_type,
+       'Figure 1: doc ' || doc_id AS caption
 FROM documents
 """
 
@@ -849,15 +911,45 @@ FROM banded l JOIN banded r ON l.band_key = r.band_key
 WHERE l.doc_id < r.doc_id
 """
 
-    q["simhash"] = _simhash_sql()
+    q["simhash"] = f"""
+WITH {_simhash_cte('documents')}
+SELECT doc_id, simhash FROM sig
+"""
+
+    from qwen_ocr_spark.operators.dedup import SIMHASH_RADIUS
+    _chunks = SIMHASH_RADIUS + 1
+    _cw = 32 // _chunks
+    chunk_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, '{c}|' || substring(simhash, {c * _cw + 1}, {_cw})"
+        " AS chunk_key FROM sig"
+        for c in range(_chunks)
+    )
+    q["simhash_pairs"] = f"""
+WITH {_DOCS2},
+{_simhash_cte('docs2')},
+chunked AS ({chunk_selects}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS sa, r.simhash AS sb
+  FROM chunked l JOIN chunked r ON l.chunk_key = r.chunk_key
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(CAST(sa AS BIT), CAST(sb AS BIT))) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(CAST(sa AS BIT), CAST(sb AS BIT))) <= {SIMHASH_RADIUS}
+"""
 
     q["ngram_jaccard"] = f"""
 WITH {_DOCS2},
 {_shingles_sql('docs2')},
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+kept AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) <= {dedup.MAX_SHINGLE_DF}),
+shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shk GROUP BY doc_id),
 inter AS (
   SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
-  FROM sh l JOIN sh r ON l.shingle = r.shingle
+  FROM shk l JOIN shk r ON l.shingle = r.shingle
   WHERE l.doc_id < r.doc_id
   GROUP BY l.doc_id, r.doc_id
 )
@@ -886,6 +978,53 @@ s AS (
 )
 SELECT query_id, neighbor_id, score_e6, CAST(rk AS INT) AS rank
 FROM r WHERE rk <= 5
+"""
+
+    from qwen_ocr_spark.operators.similarity import (
+        ANN_BANDS, ANN_ROWS, LSH_BANDS, LSH_ROWS,
+    )
+    q["ann_lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+banded AS ({_banded_sql(ANN_BANDS, ANN_ROWS)}),
+qb AS (SELECT vec_id AS query_id, band_key FROM banded WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT qb.query_id, c.vec_id AS neighbor_id
+  FROM qb JOIN banded c ON qb.band_key = c.band_key
+  WHERE c.vec_id <> qb.query_id
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(({_COS_SQL}) * 1e6) AS BIGINT) AS score_e6
+  FROM cand
+  JOIN e a ON a.vec_id = query_id
+  JOIN e b ON b.vec_id = neighbor_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_e6 DESC, neighbor_id) AS rk
+  FROM s WHERE score_e6 IS NOT NULL
+)
+SELECT query_id, neighbor_id, score_e6, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 5
+"""
+
+    q["embedding_near_dups"] = f"""
+WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v FROM raw
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, v FROM raw WHERE vec_id % 10 = 0),
+banded AS ({_banded_sql(LSH_BANDS, LSH_ROWS)}),
+pairs AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM banded l JOIN banded r ON l.band_key = r.band_key
+  WHERE l.vec_id < r.vec_id
+)
+SELECT id_a, id_b,
+       CAST(floor(({_COS_SQL}) * 1e6) AS BIGINT) AS score_e6
+FROM pairs
+JOIN e a ON a.vec_id = id_a
+JOIN e b ON b.vec_id = id_b
+WHERE floor(({_COS_SQL}) * 1e6) IS NOT NULL
+  AND floor(({_COS_SQL}) * 1e6) >= 950000
 """
 
     q["lang_id"] = f"""

@@ -9,12 +9,21 @@ Scale-first shapes (the 100 TB rationale, per operator):
                band join.  Candidate pairs only: documents never pairwise
                compare unless a band collides, which is what keeps it
                sub-quadratic at corpus scale.
-* simhash    — 32-bit signature from per-token md5 high bits; a hamming-
-               radius self-join on the signature prefix buckets.
+* simhash    — 32-bit signature from per-token md5 high bits;
+               ``simhash_near_pairs`` finds pairs within hamming radius d
+               via a chunk-bucket join: split the signature into d+1
+               chunks — pigeonhole guarantees a pair at distance <= d
+               matches exactly on at least one chunk — join on (chunk_idx,
+               chunk_value), verify the full distance with bit_count(xor).
 * ngram      — exact Jaccard on distinct word 3-grams computed via a
                shingle-key equi-join (co-shingle counting), never a cross
-               join; the join key is the shingle, so skewy common shingles
-               are the salting axis.
+               join.  Shingles whose document frequency exceeds ``max_df``
+               are dropped BEFORE the self-join: a stop-shingle in k docs
+               would materialize k^2/2 join rows (the 100 TB blowup), and
+               it carries no near-dup signal — J >= 0.8 pairs share many
+               RARE shingles.  Jaccard is then computed over the capped
+               shingle sets on both sides (sizes and intersections), so
+               the DuckDB oracle mirrors it exactly.
 
 Everything is built-in-function SQL (md5/least/greatest/window) — no Python
 UDFs — and every operator has an exact DuckDB oracle in __spark_entry__.py
@@ -29,6 +38,8 @@ from pyspark.sql import functions as F
 MINHASH_SLOTS = 8
 MINHASH_BANDS = 4  # 2 slots per band
 SHINGLE_N = 3
+MAX_SHINGLE_DF = 256  # default document-frequency cap for the jaccard join
+SIMHASH_RADIUS = 3    # default hamming radius; 4 chunks of 8 bits
 
 
 def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -123,14 +134,74 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select(F.col(id_col), bits.alias("simhash"))
 
 
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       radius: int = SIMHASH_RADIUS) -> DataFrame:
+    """SimHash neighbor search: (id_a < id_b, hamming) pairs within radius.
+
+    Pigeonhole bucketing: the 32-bit signature splits into ``radius + 1``
+    equal chunks; any pair within hamming distance <= radius agrees exactly
+    on at least one chunk, so candidates = equi-join on (chunk_idx, chunk
+    bits) — sub-quadratic like the MinHash band join — then the exact
+    distance check is one bit_count(xor) per candidate.  Bucket count per
+    chunk is 2^(32/(radius+1)); scale radius/signature width together."""
+    chunks = radius + 1
+    width = 32 // chunks
+    sig = simhash32(df, id_col, text_col)
+    sig = sig.select(
+        F.col(id_col), "simhash",
+        F.conv(F.col("simhash"), 2, 10).cast("bigint").alias("sig_int"),
+    )
+    chunk_keys = F.array(*[
+        F.concat(F.lit(f"{c}|"), F.substring("simhash", c * width + 1, width))
+        for c in range(chunks)
+    ])
+    stacked = sig.select(
+        F.col(id_col), "sig_int", F.explode(chunk_keys).alias("chunk_key")
+    )
+    l, r = stacked.alias("l"), stacked.alias("r")
+    pairs = (
+        l.join(r, on="chunk_key")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig_int").alias("sig_a"),
+            F.col("r.sig_int").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= radius)
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = SHINGLE_N,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above threshold.
 
     inter(a,b) via a shingle-key equi-join; |A|,|B| via per-doc counts;
-    J = inter / (|A| + |B| - inter).  Only co-shingled pairs materialize."""
-    sh = word_shingles(df, id_col, text_col, n).cache()
+    J = inter / (|A| + |B| - inter).  Only co-shingled pairs materialize,
+    and shingles with document frequency > ``max_df`` are dropped first
+    (both from intersections AND sizes — the oracle mirrors this), which
+    bounds the join at max_df * |shingle rows| instead of sum(df^2).
+
+    No .cache() here: the shingle explode is cheap codegen relative to the
+    join, and a long-lived session must not accrue storage memory per call
+    (callers running one action may persist the input themselves)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+              .agg(F.count("*").alias("df"))
+              .where(F.col("df") <= max_df)
+              .select("shingle")
+        )
+        sh = sh.join(keep, on="shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (

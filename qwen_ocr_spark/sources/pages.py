@@ -264,6 +264,60 @@ def _bridge_pdf(doc_id: int, text: str) -> bytes:
     return make_pdf(pages)
 
 
+def _bridge_fig_attrs(doc_id: int) -> tuple[tuple[int, int, int, int], str, str]:
+    """Closed-form figure attributes for the figured bridge — the same
+    arithmetic the extract_figures DuckDB oracle emits, so the FIGURE path
+    of the real pipeline gets an exact value hash (VERDICT r1 task 3).
+    Box is always bbox-valid and inside the [5%, 85%] area window:
+    w in [400, 499], h in [350, 429] -> area in [140000, 214571]."""
+    x1 = doc_id % 300
+    y1 = (doc_id * 7) % 300
+    x2 = x1 + 400 + doc_id % 100
+    y2 = y1 + 350 + doc_id % 80
+    etype = ("chart", "graph", "diagram")[doc_id % 3]
+    return (x1, y1, x2, y2), etype, f"Figure 1: doc {doc_id}"
+
+
+def _bridge_html_figured(doc_id: int, text: str) -> bytes:
+    """_bridge_html plus exactly one deterministic <figure>."""
+    t = html_mod.escape(text)
+    (x1, y1, x2, y2), etype, caption = _bridge_fig_attrs(doc_id)
+    return (
+        "<!doctype html><html><head><title>d</title></head><body>"
+        '<nav><ul><li><a href="/h">Home</a></li><li><a href="/a">About</a></li></ul></nav>'
+        f"<article><h1>Doc {doc_id}</h1><p>{t}</p>"
+        f'<figure><img src="f1.png" data-bbox="{x1},{y1},{x2},{y2}" '
+        f'data-element-type="{etype}"/>'
+        f"<figcaption>{caption}</figcaption></figure></article>"
+        '<footer><p>Copyright 2026 <a href="/t">Terms</a></p></footer>'
+        "</body></html>"
+    ).encode("utf-8")
+
+
+def pages_from_documents_figured(docs_df):
+    """documents → all-HTML pages, one closed-form figure per document.
+
+    Used by the extract_figures driver query: because bbox/type/caption are
+    pure arithmetic over doc_id, the figures side-output of the REAL
+    extraction pipeline (parse → area filter → numbering) has an exact SQL
+    oracle instead of a rows-only check."""
+    n = docs_df.sparkSession.sparkContext.defaultParallelism
+    docs_df = docs_df.repartition(n)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
+                doc_id = int(doc_id)
+                payload = _bridge_html_figured(doc_id, text)
+                url = f"https://docs.example.com/fig/{doc_id}"
+                ts = EPOCH + dt.timedelta(seconds=doc_id)
+                rows.append((url, ts, payload, text, lang))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs_df.select("doc_id", "text", "lang").mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
 def pages_from_documents(docs_df, pdf_every: int = 7):
     """documents(doc_id, text, lang, ...) → pages rows, deterministically:
     doc_id % pdf_every == 0 becomes a PDF payload, the rest HTML.
