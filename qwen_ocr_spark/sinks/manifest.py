@@ -11,7 +11,11 @@ E4): every completed write also appends per-partition manifest rows
 where ``content_digest = sha256(concat(sorted per-row digests))`` — a pure
 function of the partition's row set, so a resumed/retried run producing the
 same rows produces the same manifest (the byte-identity invariant makes
-this sound).
+this sound).  Manifest rows are keyed ``(run_id, partition_id)``: partition
+ids from different runs are different row sets, and each append computes
+its manifest from the SAME DataFrame lineage being written — never by
+re-reading the output directory, which would rescan the whole table
+(O(total-data) per commit at 100 TB) and double-count prior runs.
 
 Resume = **left-anti join** of the input against the committed output's
 ``url`` set: already-extracted documents are never reprocessed.  At 10^12
@@ -34,18 +38,40 @@ from pyspark.sql.utils import AnalysisException
 
 
 def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
-                 run_id: str) -> None:
-    """Append the extraction output, then append its manifest rows.
+                 run_id: str) -> int:
+    """Append the extraction output, then append THIS write's manifest rows.
+    Returns the number of rows committed by this write.
 
-    The manifest is computed from the rows as written (same lineage), one
-    row per physical partition of the writing stage.
+    The manifest aggregates the same materialized snapshot that was written
+    (eager localCheckpoint → write → agg): one manifest row per physical
+    partition of the writing stage, keyed (run_id, partition_id).  The
+    checkpoint is load-bearing three ways — it runs the extraction UDF
+    exactly once, it pins the ``spark_partition_id`` assignment so the
+    manifest describes exactly the partitions that hit disk, and it
+    TRUNCATES LINEAGE: a resumed run's plan anti-joins against
+    ``out_path``, and Spark invalidates any *cache* that reads a path
+    being appended to — a plain persist() here silently re-evaluated the
+    plan post-append (to zero rows).  A checkpointed snapshot has no file
+    dependency left to invalidate.  Nothing ever re-reads ``out_path``.
+    On clusters where executors are preemptible, swap localCheckpoint for
+    a reliable ``checkpoint()`` (setCheckpointDir) — same contract.
+
+    Known (documented) crash window: output commit and manifest append are
+    two parquet-directory commits, not one atomic snapshot.  A crash
+    between them leaves the rows committed (resume correctly skips them)
+    but their lineage/metric rows missing from the manifest — data and
+    resumability are unaffected, manifest totals undercount.  Iceberg
+    closes this window by making table + metadata one snapshot commit;
+    this function is the TableIO seam where that swap happens.
     """
-    with_pid = out_df.withColumn("partition_id", F.spark_partition_id())
-    with_pid.write.mode("append").parquet(out_path)
-    spark = out_df.sparkSession
-    written = spark.read.parquet(out_path)
-    manifest = (
-        written
+    snap = (
+        out_df.withColumn("partition_id", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # manifest rows are tiny (one per partition): compute them up front
+    # from the snapshot, so the count is known and empty runs skip writes
+    manifest_rows = (
+        snap
         .groupBy("partition_id")
         .agg(
             F.count("*").alias("row_count"),
@@ -55,16 +81,40 @@ def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn("committed_at", F.current_timestamp())
+        .collect()
     )
-    manifest.write.mode("append").parquet(manifest_path)
+    n_rows = sum(r["row_count"] for r in manifest_rows)
+    if n_rows:
+        snap.write.mode("append").parquet(out_path)
+        spark = out_df.sparkSession
+        spark.createDataFrame(
+            manifest_rows,
+            "partition_id int, row_count bigint, content_digest string, "
+            "run_id string, committed_at timestamp",
+        ).write.mode("append").parquet(manifest_path)
+    snap.unpersist()  # checkpoint blocks; freed now instead of at GC
+    return n_rows
 
 
 def write_figures(out_df: DataFrame, figures_path: str) -> None:
-    """Append the exploded figures side-output (analog of the reference's
-    images/{page}_fig{n}.png directory, keyed (url, page_number,
-    fig_number) — /root/reference/src/models/extracted_image.py:34-43)."""
+    """Idempotently append the exploded figures side-output (analog of the
+    reference's images/{page}_fig{n}.png directory, keyed (url, page_number,
+    fig_number) — /root/reference/src/models/extracted_image.py:34-43).
+
+    Urls already present in the figures table are anti-joined away, so the
+    figures write can safely run BEFORE the output commit that drives
+    resume: a crash between the two re-extracts the document on the next
+    run and this dedup swallows the replayed figures (at-least-once write,
+    exactly-once table contents)."""
     from qwen_ocr_spark.operators.extract import figures_table
-    figures_table(out_df).write.mode("append").parquet(figures_path)
+    figs = figures_table(out_df)
+    spark = out_df.sparkSession
+    try:
+        done = spark.read.parquet(figures_path).select("url").distinct()
+        figs = figs.join(done, on="url", how="left_anti")
+    except AnalysisException:
+        pass  # first write — nothing to dedup against
+    figs.write.mode("append").parquet(figures_path)
 
 
 def committed_urls(spark: SparkSession, out_path: str) -> DataFrame | None:

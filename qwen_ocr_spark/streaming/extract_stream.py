@@ -5,9 +5,16 @@ watermarks, no event-time state), so streaming is an INGEST mode, not new
 semantics: ``readStream`` over the pages table directory → the exact same
 ``extract_pages`` transformation inside ``foreachBatch`` → append output +
 manifest per micro-batch.  ``foreachBatch`` keeps batch semantics unchanged
-(one deterministic function of the rows), the streaming checkpoint replaces
-the anti-join resume for already-SEEN files, and the manifest keeps row
-lineage as in batch mode.
+(one deterministic function of the rows) and the manifest keeps row lineage
+as in batch mode.
+
+Exactly-once table contents from an at-least-once sink: ``foreachBatch``
+replays a micro-batch if the job dies after the write but before the
+checkpoint commit, so ``process`` anti-joins the batch against the already
+committed urls (the same ``resume_filter`` the batch CLI uses) before
+extracting — a replayed batch finds all its urls committed and appends
+nothing.  The checkpoint handles already-SEEN files; the anti-join handles
+the replay window between write and checkpoint.
 
 ``events_hourly_stream`` is the watermarked event-time aggregation analog
 of __spark_entry__'s ``events_hourly`` — late data beyond 2 hours dropped.
@@ -19,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qwen_ocr_spark.operators.extract import extract_pages
-from qwen_ocr_spark.sinks.manifest import write_output
+from qwen_ocr_spark.sinks.manifest import resume_filter, write_output
 from qwen_ocr_spark.sources.pages import PAGES_SCHEMA
 
 
@@ -39,7 +46,9 @@ def stream_extract(spark: SparkSession, input_dir: str, out_path: str,
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract_pages(batch_df)
+        # idempotence vs foreachBatch replay: drop urls already committed
+        todo = resume_filter(batch_df, out_path)
+        out = extract_pages(todo)
         write_output(out, out_path, manifest_path, run_id=f"stream-{batch_id}")
 
     writer = stream.writeStream.foreachBatch(process).option(

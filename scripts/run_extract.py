@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
+    from pyspark.sql import functions as F
+
     from qwen_ocr_spark.operators.extract import extract_pages
     from qwen_ocr_spark.plans.session import get_spark
     from qwen_ocr_spark.sinks.manifest import (
@@ -46,12 +48,20 @@ def main() -> None:
     )
     if args.figures:
         out = out.cache()
-    write_output(out, args.out, args.manifest, run_id)
-    if args.figures:
+        # figures go FIRST: the output commit drives resume, so a crash
+        # between the two must leave the url *uncommitted* (figures for it
+        # are replayed next run and deduped by write_figures' anti-join);
+        # the old order lost figures permanently on that crash window.
         write_figures(out, args.figures)
+    new_rows = write_output(out, args.out, args.manifest, run_id)
 
-    done = spark.read.parquet(args.out)
-    print(f"{run_id}: committed total={done.count()} urls={done.select('url').distinct().count()}")
+    # report from the manifest (tiny), never by rescanning the output table
+    try:
+        man = spark.read.parquet(args.manifest)
+        total = man.agg(F.sum("row_count")).collect()[0][0] or 0
+    except Exception:
+        total = 0  # nothing committed yet (empty first run)
+    print(f"{run_id}: committed new={new_rows} total={total}")
     spark.stop()
 
 

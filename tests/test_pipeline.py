@@ -147,11 +147,36 @@ def test_write_manifest_and_resume(spark, pages, out, tmp_path):
     resumed = {r["url"]: r["digest"] for r in final.select("url", "digest").collect()}
     assert oneshot == resumed
 
-    # manifest lineage exists and counts add up
+    # manifest lineage: computed from each run's OWN rows (never a rescan
+    # of the output dir), keyed (run_id, partition_id), totals exact
     man = spark.read.parquet(man_path)
-    assert man.agg(F.sum("row_count")).collect()[0][0] >= N_DOCS
     assert set(man.columns) == {"partition_id", "row_count", "content_digest",
                                 "run_id", "committed_at"}
+    per_run = {r["run_id"]: r["s"] for r in
+               man.groupBy("run_id").agg(F.sum("row_count").alias("s")).collect()}
+    assert per_run == {"run1": n_half, "run2": N_DOCS - n_half}
+    assert man.agg(F.sum("row_count")).collect()[0][0] == N_DOCS
+    assert man.count() == man.select("run_id", "partition_id").distinct().count()
+
+
+def test_write_figures_idempotent_replay(spark, pages, out, tmp_path):
+    """Figures are written BEFORE the output commit, so a crash between the
+    two replays them — the anti-join must swallow the replay."""
+    from qwen_ocr_spark.sinks.manifest import write_figures
+    figs_path = str(tmp_path / "figs")
+    write_figures(out, figs_path)
+    n1 = spark.read.parquet(figs_path).count()
+    assert n1 > 0
+    write_figures(out, figs_path)  # replay of the same rows
+    assert spark.read.parquet(figs_path).count() == n1
+    # a genuinely new url still appends
+    extra = synth_pages(spark, 10, seed=42, partitions=2, start=N_DOCS)
+    write_figures(extract_pages(extra, partitions=2), figs_path)
+    n2 = spark.read.parquet(figs_path).count()
+    assert n2 >= n1
+    figs = spark.read.parquet(figs_path)
+    keys = figs.select("url", "page_number", "fig_number")
+    assert keys.count() == keys.distinct().count()
 
 
 def test_gen_page_pure_function():

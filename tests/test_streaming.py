@@ -35,6 +35,17 @@ def test_stream_extract_incremental(spark, tmp_path):
     man_df = spark.read.parquet(man)
     assert man_df.where(F.col("run_id").startswith("stream-")).count() > 0
 
+    # replay safety: wipe the checkpoint so the SAME files are re-delivered
+    # (foreachBatch is at-least-once; a crash between write and checkpoint
+    # commit replays the batch) — the in-batch anti-join must append nothing
+    import shutil
+    shutil.rmtree(ckpt)
+    q = stream_extract(spark, in_dir, out, man, ckpt)
+    q.awaitTermination(180)
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == 90
+    assert replayed.select("url").distinct().count() == 90
+
 
 def test_events_hourly_stream_watermark(spark, tmp_path):
     src = str(tmp_path / "ev")
