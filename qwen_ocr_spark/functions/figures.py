@@ -33,6 +33,10 @@ class Figure:
     element_type: str = "other"
     caption: str | None = None
     fig_number: int = 0  # assigned by number_figures
+    # payload format tag: "gray8:WxH" for decoded PDF raster samples, ""
+    # when no pixel payload exists (the HTML path carries only metadata —
+    # no raster ever existed to crop from; the column is honest about it)
+    img_format: str = ""
     png: bytes = field(default=b"", repr=False)
 
 

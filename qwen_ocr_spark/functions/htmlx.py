@@ -22,6 +22,8 @@ filter (/root/reference/src/models/document_job.py:203-227) is exercised.
 
 from __future__ import annotations
 
+import codecs
+import re
 from html.parser import HTMLParser
 
 from qwen_ocr_spark import config
@@ -296,6 +298,33 @@ class _Extractor(HTMLParser):
     def close(self):
         super().close()
         self._flush()
+
+
+# charset declarations, per WHATWG sniffing (the subset that matters for a
+# crawl): <meta charset="..."> and the legacy http-equiv Content-Type form
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9._\-]+)""", re.I)
+
+
+def decode_html_bytes(payload: bytes) -> str:
+    """Charset-sniffing decode: BOM first, then <meta charset> in the first
+    2 KiB, else utf-8; always errors='replace' (one mojibake byte must not
+    fail the document).  Real crawl pages routinely declare latin-1 /
+    windows-1252 — hard-decoding utf-8 silently corrupted extracted_text,
+    which is the byte-identity invariant (VERDICT r1 'what's missing' #4)."""
+    if payload.startswith(codecs.BOM_UTF8):
+        return payload[len(codecs.BOM_UTF8):].decode("utf-8", errors="replace")
+    if payload.startswith((codecs.BOM_UTF16_LE, codecs.BOM_UTF16_BE)):
+        return payload.decode("utf-16", errors="replace")  # BOM-aware
+    m = _META_CHARSET_RE.search(payload[:2048])
+    if m:
+        try:
+            enc = codecs.lookup(m.group(1).decode("ascii")).name
+        except (LookupError, UnicodeDecodeError):
+            enc = "utf-8"
+    else:
+        enc = "utf-8"
+    return payload.decode(enc, errors="replace")
 
 
 def parse_html(html: str) -> bk.PageBlocks:

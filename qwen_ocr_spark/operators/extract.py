@@ -46,12 +46,13 @@ OUT_SCHEMA = (
     "extracted_text string, digest string, n_pages int, n_headers int, "
     "n_blocks_kept int, n_blocks_dropped int, image_tokens bigint, "
     "breadcrumb string, figures array<struct<page_number int, fig_number int, "
-    "bbox array<int>, caption string, element_type string, png binary>>, "
+    "bbox array<int>, caption string, element_type string, img_format string, "
+    "png binary>>, "
     "error string"
 )
 
 FIGURES_COLUMNS = ["url", "page_number", "fig_number", "bbox", "caption",
-                   "element_type", "png"]
+                   "element_type", "img_format", "png"]
 
 # 130 DPI page-image token cost (reference cost model A1 —
 # src/processing.py:100-102 at src/pdf_handler.py:11's DPI): tokens are
@@ -71,7 +72,7 @@ def _extract_one(url: str, payload: bytes) -> dict:
             for p in pages
         )
     else:
-        res = htmlx.extract_html(payload.decode("utf-8", errors="replace"))
+        res = htmlx.extract_html(htmlx.decode_html_bytes(payload))
         kind = "html"
         n_pages = 1
         itok = 0
@@ -88,7 +89,7 @@ def _extract_one(url: str, payload: bytes) -> dict:
         "breadcrumb": build_context(res.header_stack),
         "figures": [
             (f.page_number, f.fig_number, list(f.bbox), f.caption,
-             f.element_type, f.png)
+             f.element_type, f.img_format, f.png)
             for f in res.figures
         ],
         "error": None,
@@ -148,7 +149,7 @@ def figures_table(out_df: DataFrame) -> DataFrame:
         out_df
         .select("url", F.explode("figures").alias("f"))
         .select("url", "f.page_number", "f.fig_number", "f.bbox",
-                "f.caption", "f.element_type", "f.png")
+                "f.caption", "f.element_type", "f.img_format", "f.png")
     )
 
 

@@ -163,7 +163,12 @@ def _pdf_doc(r: random.Random, doc_id: int, max_pages: int = 14) -> tuple[bytes,
             all_text.append(cap)
             y += 30
         pages.append(PageSpec(texts=texts, images=images))
-    return make_pdf(pages), " ".join(all_text)
+    # exercise the real-world encodings: most crawl PDFs FlateDecode their
+    # streams, many emit TJ kerned arrays — extraction is invariant to both
+    return (
+        make_pdf(pages, compress=doc_id % 2 == 0, tj_arrays=doc_id % 3 == 0),
+        " ".join(all_text),
+    )
 
 
 def gen_page(seed: int, doc_id: int,
@@ -261,7 +266,9 @@ def _bridge_pdf(doc_id: int, text: str) -> bytes:
             line = (line + " " + w).strip()
     if line:
         pages[-1].texts.append(TextSpec(72, y, 12, line))
-    return make_pdf(pages)
+    # doc_id % 14 == 0 → FlateDecode, % 21 == 0 → TJ arrays: the driver's
+    # extract_docs oracle therefore exercises compressed and kerned PDFs
+    return make_pdf(pages, compress=doc_id % 14 == 0, tj_arrays=doc_id % 21 == 0)
 
 
 def _bridge_fig_attrs(doc_id: int) -> tuple[tuple[int, int, int, int], str, str]:

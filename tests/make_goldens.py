@@ -15,7 +15,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from qwen_ocr_spark.functions.htmlx import extract_html          # noqa: E402
+from qwen_ocr_spark.functions.htmlx import (                     # noqa: E402
+    decode_html_bytes,
+    extract_html,
+)
 from qwen_ocr_spark.functions.pdfx import (                      # noqa: E402
     ImageSpec, PageSpec, TextSpec, extract_pdf, make_pdf,
 )
@@ -28,11 +31,16 @@ def _lines(texts, x=72, y0=120, size=12, leading=16):
 
 
 def html_case(name: str, html: str) -> None:
-    _write(name, "input.html", html.encode(), extract_html(html))
+    html_bytes_case(name, html.encode())
 
 
-def pdf_case(name: str, pages: list[PageSpec]) -> None:
-    data = make_pdf(pages)
+def html_bytes_case(name: str, payload: bytes) -> None:
+    # same decode path production uses (charset sniffing included)
+    _write(name, "input.html", payload, extract_html(decode_html_bytes(payload)))
+
+
+def pdf_case(name: str, pages: list[PageSpec], **make_kw) -> None:
+    data = make_pdf(pages, **make_kw)
     _write(name, "input.pdf", data, extract_pdf(data))
 
 
@@ -45,7 +53,7 @@ def _write(name: str, input_name: str, payload: bytes, res) -> None:
     figs = [
         {"page_number": f.page_number, "fig_number": f.fig_number,
          "bbox": list(f.bbox), "caption": f.caption,
-         "element_type": f.element_type}
+         "element_type": f.element_type, "img_format": f.img_format}
         for f in res.figures
     ]
     (d / "expected_figures.json").write_text(json.dumps(figs, indent=1))
@@ -160,6 +168,27 @@ to the discussion with even more words of content.</p>
                *_lines(["Analysis continues after the figure with more words."], y0=540)],
         images=[ImageSpec(90, 120, 380, 330, "chart")],
     )])
+
+    html_bytes_case("charset_latin1", (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=iso-8859-1"></head><body><article>'
+        "<h1>Caf\xe9 r\xe9sum\xe9</h1>"
+        "<p>Stra\xdfe and na\xefve words decoded from latin-1 correctly here.</p>"
+        "</article></body></html>"
+    ).encode("latin-1"))
+
+    # FlateDecode-compressed streams (how real-crawl PDFs arrive) and TJ
+    # kerned arrays must extract byte-identically to the plain encoding
+    flate_spec = [PageSpec(
+        texts=[TextSpec(72, 60, 20, "Compressed Stream Document Title"),
+               *_lines(["Body paragraph inside a FlateDecode content stream.",
+                        "Second line continues the same paragraph with words."], y0=140),
+               TextSpec(90, 470, 10, "Figure 1: Compressed-figure caption")],
+        images=[ImageSpec(90, 160, 380, 290, "diagram")],
+    )]
+    pdf_case("pdf_flate", flate_spec, compress=True)
+    pdf_case("pdf_tj_arrays", flate_spec, tj_arrays=True)
+    pdf_case("pdf_flate_tj", flate_spec, compress=True, tj_arrays=True)
 
     pdf_case("pdf_table", [PageSpec(texts=[
         TextSpec(72, 160, 12, "Table 1: Latency by configuration and mode"),

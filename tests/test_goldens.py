@@ -14,7 +14,7 @@ from pathlib import Path
 
 import pytest
 
-from qwen_ocr_spark.functions.htmlx import extract_html
+from qwen_ocr_spark.functions.htmlx import decode_html_bytes, extract_html
 from qwen_ocr_spark.functions.pdfx import extract_pdf
 
 FIX = Path(__file__).resolve().parent / "fixtures"
@@ -24,7 +24,7 @@ CASES = sorted(p.name for p in FIX.iterdir() if p.is_dir()) if FIX.exists() else
 def _extract(case_dir: Path):
     html = case_dir / "input.html"
     if html.exists():
-        return extract_html(html.read_bytes().decode("utf-8"))
+        return extract_html(decode_html_bytes(html.read_bytes()))
     return extract_pdf((case_dir / "input.pdf").read_bytes())
 
 
@@ -39,7 +39,7 @@ def test_golden_byte_identity(case):
     got = [
         {"page_number": f.page_number, "fig_number": f.fig_number,
          "bbox": list(f.bbox), "caption": f.caption,
-         "element_type": f.element_type}
+         "element_type": f.element_type, "img_format": f.img_format}
         for f in res.figures
     ]
     assert got == json.loads((d / "expected_figures.json").read_text()), \
@@ -137,3 +137,17 @@ def test_rule_pdf_table():
     md = _md("pdf_table")
     assert "<table><tr><th>config</th><th>p50</th><th>p99</th></tr>" in md
     assert "<td>small</td><td>12ms</td><td>40ms</td>" in md
+
+def test_rule_charset_latin1():
+    md = _md("charset_latin1")
+    assert "Café résumé" in md and "Straße" in md and "naïve" in md
+
+
+def test_rule_flate_tj_identity():
+    """The three encodings of the same document share frozen expectations."""
+    a = (FIX / "pdf_flate" / "expected_text.txt").read_bytes()
+    b = (FIX / "pdf_tj_arrays" / "expected_text.txt").read_bytes()
+    c = (FIX / "pdf_flate_tj" / "expected_text.txt").read_bytes()
+    assert a == b == c and b"FlateDecode content stream" in a
+    # and the compressed input really is compressed (no plaintext title)
+    assert b"Compressed Stream Document Title" not in (FIX / "pdf_flate" / "input.pdf").read_bytes()

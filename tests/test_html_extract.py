@@ -195,3 +195,20 @@ def test_determinism_byte_identical():
     b = extract_html(ARTICLE)
     assert a.markdown == b.markdown
     assert a.extracted_text == b.extracted_text
+
+
+def test_decode_html_bytes_sniffing():
+    from qwen_ocr_spark.functions.htmlx import decode_html_bytes
+    # BOM wins
+    assert decode_html_bytes(b"\xef\xbb\xbf<p>caf\xc3\xa9</p>") == "<p>café</p>"
+    assert decode_html_bytes("<p>café</p>".encode("utf-16")) == "<p>café</p>"
+    # meta charset (both forms), case-insensitive, quoted or bare
+    latin = '<head><meta charset=ISO-8859-1></head><p>caf\xe9</p>'.encode("latin-1")
+    assert "café" in decode_html_bytes(latin)
+    legacy = ('<head><meta http-equiv="content-type" content="text/html; '
+              'charset=windows-1252"></head><p>\x93quoted\x94</p>').encode("latin-1")
+    assert "“quoted”" in decode_html_bytes(legacy)
+    # unknown charset → utf-8 fallback, never an exception
+    assert "x" in decode_html_bytes(b'<meta charset="no-such-enc"><p>x</p>')
+    # no declaration → utf-8
+    assert decode_html_bytes("<p>模型</p>".encode()) == "<p>模型</p>"
