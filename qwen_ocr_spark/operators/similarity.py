@@ -124,27 +124,45 @@ def with_lsh_signature(emb: DataFrame, vec_col: str = "embedding",
     return emb.withColumn("lsh_sig", F.concat(*bits))
 
 
-def band_key_cols(vec_col: str = "embedding", bands: int = LSH_BANDS,
-                  rows: int = LSH_ROWS, dims: int = 64) -> list:
-    """One bucket-key Column per band: ``"{b}|{r sign bits}"``.
-
-    Plane p of band b is the global plane index ``b * rows + r`` so bands
-    use disjoint hyperplanes.  All plan-time literals — per row the work is
-    b*r dot products in codegen, no Python, no RNG."""
+def _element_cols(vec_col: str, dims: int) -> list:
+    """Extract vector elements ONCE per row (``F.get`` is NULL-safe past
+    the end even under ANSI; coalesce-to-0.0 trims long plane sets to short
+    vectors exactly like a slice would — adding 0.0 is float-exact)."""
     v = F.col(vec_col)
+    return [
+        F.coalesce(F.get(v, d), F.lit(0.0)).alias(f"_e{d}") for d in range(dims)
+    ]
+
+
+def _band_keys_from_elements(bands: int, rows: int, dims: int) -> list:
+    """One bucket-key Column per band over pre-extracted ``_e{d}`` columns:
+    ``"{b}|{r sign bits}"``.  Plane p of band b is global index b*rows+r so
+    bands use disjoint hyperplanes; plane components are plan-time literals.
+
+    UNROLLED dot products: higher-order functions (zip_with + aggregate)
+    are interpreted per element in Spark — measured ~1.5 ms/row for 32
+    planes — while a flat product-sum over scalar columns whole-stage-
+    codegens.  Left-to-right addition keeps the float result bit-identical
+    to the sequential fold the DuckDB oracle computes.
+
+    Each band key is ONE ``F.expr`` SQL string, not thousands of Column
+    objects: building the same tree node-by-node in Python costs one py4j
+    round trip per node (~14 s of driver time for 32 planes x 64 dims,
+    measured); a string parses JVM-side in milliseconds.  Plane literals
+    ride as CAST('<repr>' AS DOUBLE) — repr round-trips doubles exactly."""
     keys = []
     for b in range(bands):
         bits = []
         for rw in range(rows):
-            plane = F.array(*[F.lit(x) for x in _plane(b * rows + rw, dims)])
-            w = F.slice(plane, 1, F.size(v))
-            proj = F.aggregate(
-                F.zip_with(v, w, lambda x, wc: x * wc),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            w = _plane(b * rows + rw, dims)
+            terms = " + ".join(
+                f"_e{d} * CAST('{w[d]!r}' AS DOUBLE)" for d in range(dims)
             )
-            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-        keys.append(F.concat(F.lit(f"{b}|"), *bits))
+            bits.append(
+                f"(CASE WHEN (CAST(0.0 AS DOUBLE) + {terms}) >= 0"
+                " THEN '1' ELSE '0' END)"
+            )
+        keys.append(F.expr(f"concat('{b}|', " + ", ".join(bits) + ")"))
     return keys
 
 
@@ -152,8 +170,9 @@ def banded_buckets(emb: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", bands: int = LSH_BANDS,
                    rows: int = LSH_ROWS, dims: int = 64) -> DataFrame:
     """Stacked (id, band_key) relation — one row per (vector, band)."""
-    keys = band_key_cols(vec_col, bands, rows, dims)
-    return emb.select(
+    base = emb.select(F.col(id_col), *_element_cols(vec_col, dims))
+    keys = _band_keys_from_elements(bands, rows, dims)
+    return base.select(
         F.col(id_col), F.explode(F.array(*keys)).alias("band_key")
     )
 
@@ -181,8 +200,10 @@ def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
     Recall < 1 by design (bucket misses; see module banding math); the
     bench compares speed and recall against cosine_topk."""
-    keys = band_key_cols(vec_col, bands, rows, dims)
-    with_keys = emb.select(
+    base = emb.select(F.col(id_col), F.col(vec_col),
+                      *_element_cols(vec_col, dims))
+    keys = _band_keys_from_elements(bands, rows, dims)
+    with_keys = base.select(
         F.col(id_col), F.col(vec_col),
         F.explode(F.array(*keys)).alias("band_key"),
     )

@@ -121,3 +121,76 @@ def test_embedding_near_dups_finds_pair(emb):
     pairs = {(r["id_a"], r["id_b"]) for r in
              similarity.embedding_near_dups(emb, threshold_e6=999_000).collect()}
     assert (1, 101) in pairs and (1, 100) in pairs
+
+
+def test_banded_lsh_recall_vs_exact(emb):
+    """Measured recall of the banded ANN against the exact baseline over
+    several queries — the scale path must find most true neighbors."""
+    qids = [1, 5, 10, 20, 30]
+    exact = similarity.cosine_topk(emb, qids, k=3).collect()
+    approx = similarity.lsh_bucketed_topk(emb, qids, k=3).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    found = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & found) / len(truth)
+    # mid-angle neighbors on this adversarial 16-dim fixture sit near the
+    # per-plane coin-flip regime; the banding guarantee is graded (module
+    # math): ~0.4+ here, ~1.0 for near-identical vectors (asserted below)
+    assert recall >= 0.4, f"banded ANN recall collapsed: {recall}"
+    # near-duplicates of query 1 are ALWAYS candidates (cos ~ 1)
+    assert {(1, 100), (1, 101)} <= found
+    # and scores for intersecting pairs are the EXACT cosine (re-rank is exact)
+    ex = {(r["query_id"], r["neighbor_id"]): r["score_e6"] for r in exact}
+    for r in approx:
+        k = (r["query_id"], r["neighbor_id"])
+        if k in ex:
+            assert r["score_e6"] == ex[k]
+
+
+def test_banded_buckets_shrink(spark):
+    """The banding math: per-band bucket population stays far below N for
+    spread-out vectors (the N^2/2^r join-cost claim), while exact
+    duplicates always share all bands."""
+    import math
+    rows = [(i, [math.sin(0.37 * i * (d + 3)) for d in range(16)])
+            for i in range(200)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    buckets = similarity.banded_buckets(df, dims=16).groupBy("band_key").count()
+    sizes = [r["count"] for r in buckets.collect()]
+    assert max(sizes) <= 40, f"a single band bucket holds {max(sizes)}/200 vectors"
+    # duplicates collide in every band
+    dup = spark.createDataFrame(pd.DataFrame(
+        [(1, rows[7][1]), (2, rows[7][1])], columns=["vec_id", "embedding"]))
+    pairs = similarity.lsh_candidate_pairs(dup, dims=16).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_simhash_near_pairs_radius(spark):
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta theta",   # identical → d=0
+        3: "totally different words nothing shared here at all whatsoever",
+    }
+    df = spark.createDataFrame(pd.DataFrame(
+        [(k, v) for k, v in texts.items()], columns=["doc_id", "text"]))
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(df, radius=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    # all returned pairs honor the radius bound
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
+    """A shingle present in every document must not explode the join — and
+    with the cap, docs sharing ONLY stop-shingles produce no pair."""
+    common = "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, common) for i in range(1, 6)]           # 5 identical docs
+    rows += [(10, "unique words here " + common), (11, "other phrasing now " + common)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    # cap at 4: the common shingles (df=7) are dropped; identical docs 1-5
+    # lose ALL their shingles → no pairs at all survive
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.5, max_df=4).collect()
+    assert out == []
+    # without the cap the identical docs pair up
+    out2 = {(r["id_a"], r["id_b"]) for r in
+            dedup.ngram_jaccard_pairs(df, threshold=0.99, max_df=None).collect()}
+    assert (1, 2) in out2
