@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qwen_ocr_spark.operators import dedup, similarity, textstats
+from qwen_ocr_spark.operators import dedup, similarity, textstats, timeseries
 from qwen_ocr_spark.operators.extract import extract_pages, figures_table
 from qwen_ocr_spark.sources.pages import pages_from_documents
 
@@ -519,6 +519,31 @@ def q_events_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    click (union + carry-forward — one shuffle, no inequality join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts", "value")
+    out = timeseries.asof_join(purchases, clicks,
+                               right_cols=("event_id", "value"))
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_event_id").alias("click_id"),
+        _e(F.col("asof_value"), 4).alias("click_value_e4"),
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: clicks within 1 hour after each signup."""
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup")
+    clicks = ev.where(F.col("event_type") == "click")
+    return timeseries.bucketed_range_agg(signups, clicks, window_sec=3600)
+
+
 def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = (
@@ -585,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_median": q_events_median,
         "events_sessionize": q_events_sessionize,
         "events_running_total": q_events_running_total,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
     }
 
 
@@ -1144,6 +1171,31 @@ SELECT event_id, user_id,
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS session_num
 FROM g
+"""
+
+    q["events_asof"] = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, m.click_id, m.click_value_e4
+FROM p LEFT JOIN LATERAL (
+  SELECT c.event_id AS click_id,
+         CAST(floor(c.value * 10000) AS BIGINT) AS click_value_e4
+  FROM c
+  WHERE c.user_id = p.user_id
+    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) m ON TRUE
+"""
+
+    q["events_range_join"] = """
+WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT s.event_id, s.user_id, count(*) AS n_in_window,
+       CAST(sum(CAST(floor(c.value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
+FROM s JOIN c ON c.user_id = s.user_id
+  AND epoch(c.ts) > epoch(s.ts)
+  AND epoch(c.ts) <= epoch(s.ts) + 3600
+GROUP BY s.event_id, s.user_id
 """
 
     q["events_running_total"] = """

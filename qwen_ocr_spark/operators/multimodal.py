@@ -6,12 +6,16 @@ transform is an Arrow-batched ``mapInPandas`` whose UDF operates on
 ``bytes`` + numpy — the Spark-side plumbing (schemas, batch shapes,
 partitioning, error channel) is real and tested.
 
-Decoders: this container has no image/audio codecs (no PIL/ffmpeg), so
-* RAWGRAY (our synthetic format: width*height single-byte pixels, the same
-  bytes the PDF path stores for figure XObjects) is decoded/resized/
-  sampled FOR REAL with numpy;
-* any other codec raises ``UnsupportedCodec`` inside the row-level error
-  channel — the clearly-marked stub seam where a real decoder plugs in.
+Decoders (``functions/codecs.py``, pure stdlib + numpy — no PIL/ffmpeg in
+this container, and none needed for these formats):
+* RAWGRAY (width*height single-byte pixels, the same bytes the PDF path
+  stores for figure XObjects) — numpy view;
+* PNG (8-bit gray/RGB/RGBA, all filters), BMP (24-bit), PGM — real
+  container parsing + inflate;
+* WAV (PCM) — stdlib ``wave``;
+* anything else (e.g. JPEG — a DCT entropy decoder is out of scope here)
+  raises ``UnsupportedCodec`` inside the row-level error channel — the
+  clearly-marked stub seam where a full codec library plugs in.
 
 media(media_id bigint, kind string, codec string, payload binary,
       meta struct<width int, height int, n_frames int, sample_rate int>)
@@ -24,6 +28,9 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qwen_ocr_spark.functions import codecs
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, codec string, payload binary, "
@@ -32,26 +39,24 @@ MEDIA_SCHEMA = (
 
 
 class UnsupportedCodec(NotImplementedError):
-    """STUB SEAM: raised for codecs this container cannot decode (no
-    PIL/libav here).  Replace by a real decoder in a full deployment."""
+    """STUB SEAM: raised for codecs this container cannot decode (JPEG &
+    co — no PIL/libav here).  Replace by a full codec lib in deployment."""
 
 
-def _require_rawgray(codec: str) -> None:
-    if codec != "RAWGRAY":
-        raise UnsupportedCodec(f"no decoder for codec={codec!r} in this container")
-
-
-def _decode_gray(payload: bytes, w: int, h: int) -> np.ndarray:
-    a = np.frombuffer(payload, dtype=np.uint8)
-    if a.size < w * h:
-        raise ValueError(f"payload {a.size}B < {w}x{h}")
-    return a[: w * h].reshape(h, w)
+def _decode_gray(codec: str, payload: bytes, w: int, h: int) -> np.ndarray:
+    try:
+        img = codecs.decode_image(codec, payload, w, h)
+    except KeyError:
+        raise UnsupportedCodec(
+            f"no decoder for codec={codec!r} in this container") from None
+    return codecs.to_gray(img)
 
 
 def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
-    """Deterministic synthetic media table: RAWGRAY images and 'videos'
-    (stacked frames), plus a sprinkling of undecodable codecs to exercise
-    the stub seam."""
+    """Deterministic synthetic media table: gray images in four real
+    encodings (RAWGRAY/PNG/BMP/PGM — identical pixel content per id, so
+    features are encoding-invariant), RAWGRAY 'videos' (stacked frames),
+    PCM WAV audio, plus undecodable JPEGs exercising the stub seam."""
     if partitions is None:
         partitions = max(4, spark.sparkContext.defaultParallelism)
 
@@ -61,9 +66,19 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
             for i in b["id"]:
                 i = int(i)
                 w, h = 8 + (i % 9), 8 + ((i * 3) % 9)
+                px = np.array([(i * 7 + p) % 251 for p in range(w * h)],
+                              dtype=np.uint8).reshape(h, w)
                 if i % 11 == 10:
                     rows.append((i, "image", "JPEG", b"\xff\xd8fakejpeg",
                                  (w, h, 1, 0)))
+                elif i % 13 == 3:
+                    rate = 8000 * (1 + i % 3)
+                    samp = np.array(
+                        [((i * 31 + k * 7) % 2048) - 1024
+                         for k in range(rate // 100)], dtype=np.int16)
+                    rows.append((i, "audio", "WAV",
+                                 codecs.encode_wav(samp, rate),
+                                 (0, 0, 0, rate)))
                 elif i % 3 == 2:
                     n_frames = 4 + (i % 5)
                     frames = bytes(
@@ -72,9 +87,18 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
                     )
                     rows.append((i, "video", "RAWGRAY", frames,
                                  (w, h, n_frames, 0)))
+                elif i % 11 == 4:
+                    rows.append((i, "image", "PNG", codecs.encode_png(px),
+                                 (w, h, 1, 0)))
+                elif i % 11 == 6:
+                    rows.append((i, "image", "BMP", codecs.encode_bmp(px),
+                                 (w, h, 1, 0)))
+                elif i % 11 == 8:
+                    rows.append((i, "image", "PGM", codecs.encode_pgm(px),
+                                 (w, h, 1, 0)))
                 else:
-                    px = bytes(((i * 7 + p) % 251) for p in range(w * h))
-                    rows.append((i, "image", "RAWGRAY", px, (w, h, 1, 0)))
+                    rows.append((i, "image", "RAWGRAY", px.tobytes(),
+                                 (w, h, 1, 0)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "codec", "payload", "meta"])
             rows = []
@@ -91,7 +115,9 @@ FEATURES_SCHEMA = (
 
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + per-image stats (mean/std pixel) — numpy per Arrow batch.
-    Undecodable rows land in the error column, never fail the task."""
+    Container formats (PNG/BMP/PGM) are really parsed; undecodable rows
+    land in the error column, never fail the task.  Audio rows are
+    filtered out up front (see audio_features)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
@@ -99,9 +125,9 @@ def image_features(media: DataFrame) -> DataFrame:
                 b["media_id"], b["kind"], b["codec"], b["payload"], b["meta"]
             ):
                 try:
-                    _require_rawgray(codec)
-                    w, h = int(meta["width"]), int(meta["height"])
-                    img = _decode_gray(bytes(payload), w, h)
+                    img = _decode_gray(codec, bytes(payload),
+                                       int(meta["width"]), int(meta["height"]))
+                    h, w = img.shape
                     out.append((int(mid), kind, w, h,
                                 float(img.mean()), float(img.std()), None))
                 except Exception as e:
@@ -110,7 +136,8 @@ def image_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=[
                 "media_id", "kind", "width", "height", "mean_px", "std_px",
                 "error"])
-    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+    return media.where(F.col("kind") != "audio").mapInPandas(
+        run, schema=FEATURES_SCHEMA)
 
 
 RESIZED_SCHEMA = "media_id bigint, width int, height int, payload binary, error string"
@@ -125,9 +152,9 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 b["media_id"], b["codec"], b["payload"], b["meta"]
             ):
                 try:
-                    _require_rawgray(codec)
-                    w, h = int(meta["width"]), int(meta["height"])
-                    img = _decode_gray(bytes(payload), w, h)
+                    img = _decode_gray(codec, bytes(payload),
+                                       int(meta["width"]), int(meta["height"]))
+                    h, w = img.shape
                     ys = (np.arange(out_h) * h // out_h)
                     xs = (np.arange(out_w) * w // out_w)
                     resized = img[np.ix_(ys, xs)]
@@ -137,7 +164,8 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     out.append((int(mid), 0, 0, b"", f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(out, columns=[
                 "media_id", "width", "height", "payload", "error"])
-    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return media.where(F.col("kind") != "audio").mapInPandas(
+        run, schema=RESIZED_SCHEMA)
 
 
 FRAMES_SCHEMA = "media_id bigint, frame_index int, payload binary"
@@ -161,3 +189,40 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
                     out.append((int(mid), f, frame))
             yield pd.DataFrame(out, columns=["media_id", "frame_index", "payload"])
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "media_id bigint, sample_rate int, n_channels int, n_samples bigint, "
+    "duration_ms bigint, rms_e6 bigint, error string"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Real WAV decode (stdlib wave) → per-clip stats; the engine-exact
+    floor-encoding of RMS keeps it hashable against any oracle."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, codec, payload in zip(
+                b["media_id"], b["codec"], b["payload"]
+            ):
+                try:
+                    if codec != "WAV":
+                        raise UnsupportedCodec(f"no audio decoder for {codec!r}")
+                    samples, rate = codecs.decode_wav(bytes(payload))
+                    n, ch = samples.shape
+                    rms = math.sqrt(
+                        float((samples.astype(np.float64) ** 2).mean()))
+                    out.append((int(mid), rate, ch, n,
+                                int(n * 1000 // rate),
+                                int(math.floor(rms * 1e6)), None))
+                except Exception as e:
+                    out.append((int(mid), 0, 0, 0, 0, 0,
+                                f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "sample_rate", "n_channels", "n_samples",
+                "duration_ms", "rms_e6", "error"])
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_SCHEMA)

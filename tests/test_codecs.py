@@ -1,0 +1,100 @@
+"""Pure-stdlib codecs: roundtrips, PNG filter coverage, error paths."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from qwen_ocr_spark.functions import codecs
+
+
+def _img(h, w, seed=7):
+    return np.array([(seed * 13 + p) % 251 for p in range(h * w)],
+                    dtype=np.uint8).reshape(h, w)
+
+
+def test_png_gray_roundtrip():
+    img = _img(11, 17)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+
+def test_png_rgb_rgba_roundtrip():
+    rgb = np.dstack([_img(9, 13, s) for s in (1, 2, 3)])
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(rgb)), rgb)
+    rgba = np.dstack([_img(6, 8, s) for s in (1, 2, 3, 4)])
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(rgba)), rgba)
+
+
+def test_png_all_filters_decode():
+    """Hand-build a PNG using every filter type on successive scanlines."""
+    img = _img(5, 7)
+    h, w = img.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.uint8)
+    for y, f in zip(range(h), (0, 1, 2, 3, 4)):
+        line = img[y].astype(np.int32)
+        if f == 0:
+            enc = line.copy()
+        elif f == 1:
+            enc = line.copy()
+            enc[1:] = (line[1:] - line[:-1]) % 256
+        elif f == 2:
+            enc = (line - prev) % 256
+        elif f == 3:
+            enc = line.copy()
+            for i in range(w):
+                left = int(img[y][i - 1]) if i else 0
+                enc[i] = (int(line[i]) - ((left + int(prev[i])) >> 1)) % 256
+        else:
+            enc = line.copy()
+            for i in range(w):
+                left = int(img[y][i - 1]) if i else 0
+                ul = int(prev[i - 1]) if i else 0
+                enc[i] = (int(line[i]) - codecs._paeth(left, int(prev[i]), ul)) % 256
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = img[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = (codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr)
+            + codecs._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + codecs._png_chunk(b"IEND", b""))
+    assert np.array_equal(codecs.decode_png(data), img)
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"\x89PNG\r\n\x1a\njunk")
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"GIF89a")
+
+
+def test_bmp_roundtrip_and_gray():
+    rgb = np.dstack([_img(10, 5, s) for s in (3, 5, 9)])
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(rgb)), rgb)
+    gray = _img(4, 6)
+    out = codecs.decode_bmp(codecs.encode_bmp(gray))
+    assert np.array_equal(codecs.to_gray(out), gray)
+
+
+def test_pgm_roundtrip_and_comment():
+    img = _img(9, 4)
+    assert np.array_equal(codecs.decode_pgm(codecs.encode_pgm(img)), img)
+    with_comment = b"P5\n# a comment\n4 9\n255\n" + img.tobytes()
+    assert np.array_equal(codecs.decode_pgm(with_comment), img)
+
+
+def test_wav_roundtrip():
+    samples = (np.arange(800, dtype=np.int16) * 37) % 4096 - 2048
+    data = codecs.encode_wav(samples, 16000)
+    out, rate = codecs.decode_wav(data)
+    assert rate == 16000
+    assert out.shape == (800, 1)
+    assert np.array_equal(out[:, 0], samples.astype(np.int32))
+
+
+def test_decode_image_dispatch():
+    img = _img(8, 8)
+    assert np.array_equal(codecs.decode_image("RAWGRAY", img.tobytes(), 8, 8), img)
+    assert np.array_equal(codecs.decode_image("PNG", codecs.encode_png(img)), img)
+    with pytest.raises(KeyError):
+        codecs.decode_image("JPEG", b"\xff\xd8")

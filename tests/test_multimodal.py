@@ -22,17 +22,56 @@ def media(spark):
 def test_media_schema_and_kinds(media):
     assert media.count() == N
     kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
-    assert kinds == {"image", "video"}
+    assert kinds == {"image", "video", "audio"}
+    codecs_present = {r["codec"] for r in media.select("codec").distinct().collect()}
+    assert {"RAWGRAY", "PNG", "BMP", "PGM", "WAV", "JPEG"} <= codecs_present
     row = media.where(F.col("codec") == "RAWGRAY").first()
     assert row["meta"]["width"] >= 8
     assert isinstance(row["payload"], (bytes, bytearray))
+
+
+def test_image_features_encoding_invariant(media):
+    """PNG/BMP/PGM rows carry the same pixel content as the RAWGRAY
+    formula — a real container decode must recover identical stats."""
+    feats = [r for r in image_features(media).collect() if r["error"] is None]
+    by_codec = {}
+    rows = {r["media_id"]: r for r in media.collect()}
+    for r in feats:
+        if rows[r["media_id"]]["kind"] != "image":
+            continue
+        i = r["media_id"]
+        w, h = 8 + (i % 9), 8 + ((i * 3) % 9)
+        px = np.array([(i * 7 + p) % 251 for p in range(w * h)], dtype=np.uint8)
+        assert abs(r["mean_px"] - float(px.mean())) < 1e-9, \
+            f"codec {rows[i]['codec']} drifted"
+        by_codec.setdefault(rows[i]["codec"], 0)
+        by_codec[rows[i]["codec"]] += 1
+    for c in ("PNG", "BMP", "PGM", "RAWGRAY"):
+        assert by_codec.get(c, 0) > 0, f"no decoded {c} rows in fixture"
+
+
+def test_audio_features_real_wav(media):
+    from qwen_ocr_spark.operators.multimodal import audio_features
+    feats = [r for r in audio_features(media).collect()]
+    assert feats and all(r["error"] is None for r in feats)
+    r = feats[0]
+    i = r["media_id"]
+    rate = 8000 * (1 + i % 3)
+    assert r["sample_rate"] == rate
+    assert r["n_samples"] == rate // 100
+    assert r["duration_ms"] == r["n_samples"] * 1000 // rate
+    samp = np.array([((i * 31 + k * 7) % 2048) - 1024
+                     for k in range(rate // 100)], dtype=np.float64)
+    import math
+    assert r["rms_e6"] == int(math.floor(math.sqrt((samp ** 2).mean()) * 1e6))
 
 
 def test_image_features_real_decode(media):
     feats = {r["media_id"]: r for r in image_features(media).collect()}
     ok = [r for r in feats.values() if r["error"] is None]
     bad = [r for r in feats.values() if r["error"] is not None]
-    assert len(ok) + len(bad) == N
+    n_audio = media.where(F.col("kind") == "audio").count()
+    assert len(ok) + len(bad) == N - n_audio  # audio handled by audio_features
     # undecodable JPEG rows hit the stub seam, not a job failure
     assert bad and all("UnsupportedCodec" in r["error"] for r in bad)
     # verify one decode against numpy ground truth
