@@ -59,6 +59,70 @@ def stream_extract(spark: SparkSession, input_dir: str, out_path: str,
     return writer.start()
 
 
+SESSION_OUT_SCHEMA = ("user_id bigint, session_start string, "
+                      "session_end string, n_events bigint")
+SESSION_STATE_SCHEMA = "start_sec double, last_sec double, n bigint"
+
+
+def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800):
+    """Custom stateful operator: gap-based sessionization over a stream via
+    ``applyInPandasWithState`` — per-user state is (session_start, last_ts,
+    count); a new event more than ``gap_sec`` after the last CLOSES the
+    open session (emitted) and starts a new one.
+
+    Emission is closed-sessions-only ("append" semantics): the trailing
+    open session stays in state until a later batch closes it (production
+    adds an event-time timeout to flush idle users; a finite test drain
+    checks the closed ones against the batch oracle).  State per key is
+    three scalars — O(users) memory, independent of event count, the same
+    bound the batch sessionizer's window shuffle has per partition.
+    Assumes per-key event-time order across micro-batches (enforce with a
+    watermark + sorted source in production; the batch twin
+    ``q_events_sessionize`` handles unordered data exactly).
+    """
+    import datetime as dt
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_sec, last_sec, n = state.get
+        else:
+            start_sec, last_sec, n = None, None, 0
+        ts: list[float] = []
+        for pdf in pdfs:
+            ts.extend(float(x) for x in
+                      pd.to_datetime(pdf["ts"]).astype("int64") / 1e9)
+        ts.sort()
+        closed = []
+
+        def fmt(sec: float) -> str:
+            return dt.datetime.utcfromtimestamp(sec).strftime("%Y-%m-%d %H:%M:%S")
+
+        for sec in ts:
+            if start_sec is None:
+                start_sec, last_sec, n = sec, sec, 1
+            elif sec - last_sec > gap_sec:
+                closed.append((user_id, fmt(start_sec), fmt(last_sec), n))
+                start_sec, last_sec, n = sec, sec, 1
+            else:
+                last_sec, n = sec, n + 1
+        state.update((start_sec, last_sec, n))
+        if closed:
+            yield pd.DataFrame(closed, columns=[
+                "user_id", "session_start", "session_end", "n_events"])
+
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
+            "append", "NoTimeout",
+        )
+    )
+
+
 def events_hourly_stream(events_stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-hour aggregation (event-time; late > 2h dropped)."""
     return (

@@ -25,6 +25,14 @@ def main() -> None:
     ap.add_argument("--no-repartition", action="store_true",
                     help="input already balanced; skip the salted shuffle")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--stream", action="store_true",
+                    help="run as Structured Streaming ingest: new page files "
+                         "landing under --pages are extracted incrementally")
+    ap.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir (required with --stream)")
+    ap.add_argument("--continuous", action="store_true",
+                    help="with --stream: keep running instead of draining "
+                         "what's available and exiting")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -39,6 +47,19 @@ def main() -> None:
 
     spark = get_spark(master=args.master, app_name="qwen-ocr-spark-extract")
     run_id = f"run-{uuid.uuid4().hex[:12]}"
+
+    if args.stream:
+        if not args.checkpoint:
+            ap.error("--stream requires --checkpoint")
+        from qwen_ocr_spark.streaming.extract_stream import stream_extract
+        q = stream_extract(spark, args.pages, args.out, args.manifest,
+                           args.checkpoint, available_now=not args.continuous)
+        q.awaitTermination()
+        man = spark.read.parquet(args.manifest)
+        total = man.agg(F.sum("row_count")).collect()[0][0] or 0
+        print(f"stream: committed total={total}")
+        spark.stop()
+        return
 
     pages = spark.read.parquet(args.pages)
     todo = resume_filter(pages, args.out)

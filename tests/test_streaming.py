@@ -79,3 +79,43 @@ def test_events_hourly_stream_watermark(spark, tmp_path):
     g = {(r["hour_start"], r["event_type"]): r["n"] for r in got_closed.collect()}
     # every closed window the stream emitted matches the batch count
     assert g and all(b.get(k) == v for k, v in g.items())
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: state carries the open session
+    across micro-batches; gap-exceeding events close + emit sessions."""
+    import pandas as pd
+    from qwen_ocr_spark.streaming.extract_stream import sessionize_stream
+
+    src = str(tmp_path / "sess_in")
+    outdir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def write_chunk(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+
+    def drain():
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (sessionize_stream(stream, gap_sec=1800)
+             .writeStream.outputMode("append")
+             .format("parquet").option("path", outdir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # chunk 1: user 1 session opens (2 events); user 2 lone event — drained
+    # FIRST so the open session provably crosses a micro-batch boundary
+    write_chunk([(1, t0, 1), (2, t0 + pd.Timedelta(seconds=10), 1),
+                 (3, t0, 2)])
+    drain()
+    # chunk 2: user 1 jumps past the gap — closes session 1, opens another
+    write_chunk([(4, t0 + pd.Timedelta(seconds=2000), 1),
+                 (5, t0 + pd.Timedelta(seconds=2010), 1)])
+    drain()
+
+    got = [tuple(r) for r in spark.read.parquet(outdir).collect()]
+    # only user 1's FIRST session is closed; both open sessions stay in state
+    assert got == [(1, "2026-01-01 00:00:00", "2026-01-01 00:00:10", 2)]
