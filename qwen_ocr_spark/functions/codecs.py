@@ -156,6 +156,10 @@ def encode_bmp(img: np.ndarray) -> bytes:
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
+    elif img.ndim == 3 and img.shape[2] == 4:
+        img = img[:, :, :3]  # 24bpp container: drop alpha, don't corrupt
+    elif img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"unsupported shape {img.shape} for 24-bit BMP")
     h, w = img.shape[:2]
     row = (w * 3 + 3) & ~3
     body = bytearray()
@@ -190,7 +194,10 @@ def decode_pgm(data: bytes) -> np.ndarray:
         while pos < len(data) and not data[pos:pos + 1].isspace():
             pos += 1
         fields.append(int(data[start:pos]))
-    pos += 1  # single whitespace after maxval
+    # exactly one whitespace separator after maxval — but Windows writers
+    # emit \r\n as the separator, which must count as ONE (a raster whose
+    # first pixel is 0x0A, off by one byte, would otherwise decode wrong)
+    pos += 2 if data[pos:pos + 2] == b"\r\n" else 1
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PGM unsupported")

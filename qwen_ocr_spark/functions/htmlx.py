@@ -300,30 +300,68 @@ class _Extractor(HTMLParser):
         self._flush()
 
 
-# charset declarations, per WHATWG sniffing (the subset that matters for a
-# crawl): <meta charset="..."> and the legacy http-equiv Content-Type form
-_META_CHARSET_RE = re.compile(
-    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9._\-]+)""", re.I)
+_CHARSET_IN_CONTENT_RE = re.compile(
+    r"charset\s*=\s*[\"']?\s*([a-zA-Z0-9._\-]+)", re.I)
+
+
+class _MetaCharsetSniffer(HTMLParser):
+    """WHATWG-style meta prescan over the head: a real parse (not a regex)
+    so 'charset=' inside comments or unrelated attribute values — e.g.
+    <meta name="description" content="… charset=shift_jis …"> — cannot
+    hijack the decode.  Honors <meta charset=X> and the legacy
+    http-equiv="Content-Type" content="…; charset=X" form only."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=False)
+        self.charset: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "meta" or self.charset is not None:
+            return
+        ad = {k: (v or "") for k, v in attrs}
+        if "charset" in ad:
+            self.charset = ad["charset"].strip()
+        elif ad.get("http-equiv", "").lower() == "content-type":
+            m = _CHARSET_IN_CONTENT_RE.search(ad.get("content", ""))
+            if m:
+                self.charset = m.group(1)
+
+    handle_startendtag = handle_starttag
+
+
+def _sniff_meta_charset(head: bytes) -> str | None:
+    p = _MetaCharsetSniffer()
+    try:
+        # latin-1 maps bytes 1:1 onto chars — lossless for the prescan
+        p.feed(head.decode("latin-1"))
+        p.close()
+    except Exception:
+        return None
+    return p.charset
 
 
 def decode_html_bytes(payload: bytes) -> str:
-    """Charset-sniffing decode: BOM first, then <meta charset> in the first
-    2 KiB, else utf-8; always errors='replace' (one mojibake byte must not
-    fail the document).  Real crawl pages routinely declare latin-1 /
-    windows-1252 — hard-decoding utf-8 silently corrupted extracted_text,
-    which is the byte-identity invariant (VERDICT r1 'what's missing' #4)."""
+    """Charset-sniffing decode: BOM first, then a <meta charset> prescan of
+    the first 2 KiB, else utf-8; always errors='replace' (one mojibake byte
+    must not fail the document).  Real crawl pages routinely declare
+    latin-1 / windows-1252 — hard-decoding utf-8 silently corrupted
+    extracted_text, which is the byte-identity invariant (VERDICT r1
+    'what's missing' #4).  Per WHATWG, a meta-DECLARED utf-16 is decoded
+    as utf-8: the declaration was readable in an ASCII-compatible prescan,
+    so the bytes cannot actually be utf-16 (only a BOM selects utf-16)."""
     if payload.startswith(codecs.BOM_UTF8):
         return payload[len(codecs.BOM_UTF8):].decode("utf-8", errors="replace")
     if payload.startswith((codecs.BOM_UTF16_LE, codecs.BOM_UTF16_BE)):
         return payload.decode("utf-16", errors="replace")  # BOM-aware
-    m = _META_CHARSET_RE.search(payload[:2048])
-    if m:
+    declared = _sniff_meta_charset(payload[:2048])
+    enc = "utf-8"
+    if declared:
         try:
-            enc = codecs.lookup(m.group(1).decode("ascii")).name
-        except (LookupError, UnicodeDecodeError):
+            enc = codecs.lookup(declared).name
+        except LookupError:
             enc = "utf-8"
-    else:
-        enc = "utf-8"
+        if enc.startswith("utf-16") or enc.startswith("utf-32"):
+            enc = "utf-8"
     return payload.decode(enc, errors="replace")
 
 

@@ -42,19 +42,25 @@ def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
     """Append the extraction output, then append THIS write's manifest rows.
     Returns the number of rows committed by this write.
 
-    The manifest aggregates the same materialized snapshot that was written
-    (eager localCheckpoint → write → agg): one manifest row per physical
-    partition of the writing stage, keyed (run_id, partition_id).  The
-    checkpoint is load-bearing three ways — it runs the extraction UDF
-    exactly once, it pins the ``spark_partition_id`` assignment so the
-    manifest describes exactly the partitions that hit disk, and it
-    TRUNCATES LINEAGE: a resumed run's plan anti-joins against
-    ``out_path``, and Spark invalidates any *cache* that reads a path
-    being appended to — a plain persist() here silently re-evaluated the
-    plan post-append (to zero rows).  A checkpointed snapshot has no file
-    dependency left to invalidate.  Nothing ever re-reads ``out_path``.
-    On clusters where executors are preemptible, swap localCheckpoint for
-    a reliable ``checkpoint()`` (setCheckpointDir) — same contract.
+    The output table is partitioned by ``run_id``; the manifest aggregates
+    a read-back of ONLY this run's directory (``out_path/run_id=<id>``) —
+    one manifest row per physical partition of the writing stage, keyed
+    (run_id, partition_id).  Why this shape:
+
+    * the extraction UDF runs exactly ONCE (the write is its only
+      evaluation; ``spark_partition_id`` is captured as a column during
+      that write, so the manifest describes exactly the partitions that
+      hit disk);
+    * no caching/checkpointing of the batch is needed — a plain persist()
+      here silently re-evaluated to zero rows (appending to ``out_path``
+      invalidates any cache whose plan anti-joins against it), and an
+      eager localCheckpoint pinned a full batch of extracted text in
+      executor storage that ``unpersist()`` cannot actually release (it is
+      not a CacheManager entry — only GC + ContextCleaner free it), which
+      accumulates across streaming micro-batches;
+    * the manifest scan reads this run's files only — O(append), never the
+      whole table — and describes what is durably on disk, not what a
+      snapshot claimed before the commit.
 
     Known (documented) crash window: output commit and manifest append are
     two parquet-directory commits, not one atomic snapshot.  A crash
@@ -64,14 +70,18 @@ def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
     closes this window by making table + metadata one snapshot commit;
     this function is the TableIO seam where that swap happens.
     """
-    snap = (
+    spark = out_df.sparkSession
+    (
         out_df.withColumn("partition_id", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .withColumn("run_id", F.lit(run_id))
+        .write.mode("append").partitionBy("run_id").parquet(out_path)
     )
-    # manifest rows are tiny (one per partition): compute them up front
-    # from the snapshot, so the count is known and empty runs skip writes
+    try:
+        written = spark.read.parquet(f"{out_path}/run_id={run_id}")
+    except AnalysisException:
+        return 0  # empty batch: the partitioned write created no run dir
     manifest_rows = (
-        snap
+        written
         .groupBy("partition_id")
         .agg(
             F.count("*").alias("row_count"),
@@ -84,15 +94,12 @@ def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
         .collect()
     )
     n_rows = sum(r["row_count"] for r in manifest_rows)
-    if n_rows:
-        snap.write.mode("append").parquet(out_path)
-        spark = out_df.sparkSession
+    if manifest_rows:
         spark.createDataFrame(
             manifest_rows,
             "partition_id int, row_count bigint, content_digest string, "
             "run_id string, committed_at timestamp",
         ).write.mode("append").parquet(manifest_path)
-    snap.unpersist()  # checkpoint blocks; freed now instead of at GC
     return n_rows
 
 

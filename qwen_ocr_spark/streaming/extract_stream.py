@@ -26,18 +26,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qwen_ocr_spark.operators.extract import extract_pages
-from qwen_ocr_spark.sinks.manifest import resume_filter, write_output
+from qwen_ocr_spark.sinks.manifest import (
+    resume_filter,
+    write_figures,
+    write_output,
+)
 from qwen_ocr_spark.sources.pages import PAGES_SCHEMA
 
 
 def stream_extract(spark: SparkSession, input_dir: str, out_path: str,
                    manifest_path: str, checkpoint: str,
-                   available_now: bool = True):
+                   available_now: bool = True, figures_path: str | None = None):
     """Incrementally extract new page files as they land in ``input_dir``.
 
     Returns the started StreamingQuery; with ``available_now`` the query
     drains everything currently available and stops (test/batch-catchup
-    mode) — in production the same call runs continuously.
+    mode) — in production the same call runs continuously.  With
+    ``figures_path`` the figures side-output is appended per micro-batch,
+    before the output commit, same ordering + idempotence as batch mode.
     """
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -49,7 +55,12 @@ def stream_extract(spark: SparkSession, input_dir: str, out_path: str,
         # idempotence vs foreachBatch replay: drop urls already committed
         todo = resume_filter(batch_df, out_path)
         out = extract_pages(todo)
+        if figures_path is not None:
+            out = out.cache()
+            write_figures(out, figures_path)
         write_output(out, out_path, manifest_path, run_id=f"stream-{batch_id}")
+        if figures_path is not None:
+            out.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

@@ -53,10 +53,14 @@ def main() -> None:
             ap.error("--stream requires --checkpoint")
         from qwen_ocr_spark.streaming.extract_stream import stream_extract
         q = stream_extract(spark, args.pages, args.out, args.manifest,
-                           args.checkpoint, available_now=not args.continuous)
+                           args.checkpoint, available_now=not args.continuous,
+                           figures_path=args.figures)
         q.awaitTermination()
-        man = spark.read.parquet(args.manifest)
-        total = man.agg(F.sum("row_count")).collect()[0][0] or 0
+        try:
+            man = spark.read.parquet(args.manifest)
+            total = man.agg(F.sum("row_count")).collect()[0][0] or 0
+        except Exception:
+            total = 0  # no batch committed anything yet
         print(f"stream: committed total={total}")
         spark.stop()
         return

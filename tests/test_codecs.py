@@ -98,3 +98,19 @@ def test_decode_image_dispatch():
     assert np.array_equal(codecs.decode_image("PNG", codecs.encode_png(img)), img)
     with pytest.raises(KeyError):
         codecs.decode_image("JPEG", b"\xff\xd8")
+
+
+def test_pgm_crlf_after_maxval():
+    """Windows writers end the header with \\r\\n — must count as ONE
+    separator, not shift the raster by a byte."""
+    img = _img(2, 3)
+    data = b"P5\n3 2\n255\r\n" + img.tobytes()
+    assert np.array_equal(codecs.decode_pgm(data), img)
+
+
+def test_bmp_rgba_drops_alpha_not_corrupts():
+    rgba = np.dstack([_img(5, 7, s) for s in (1, 2, 3, 4)])
+    out = codecs.decode_bmp(codecs.encode_bmp(rgba))
+    assert np.array_equal(out, rgba[:, :, :3])
+    with pytest.raises(ValueError):
+        codecs.encode_bmp(np.zeros((4, 4, 2), dtype=np.uint8))

@@ -212,3 +212,18 @@ def test_decode_html_bytes_sniffing():
     assert "x" in decode_html_bytes(b'<meta charset="no-such-enc"><p>x</p>')
     # no declaration → utf-8
     assert decode_html_bytes("<p>模型</p>".encode()) == "<p>模型</p>"
+
+
+def test_decode_html_bytes_sniff_is_not_fooled():
+    from qwen_ocr_spark.functions.htmlx import decode_html_bytes
+    # charset= inside an unrelated attribute value must not hijack decode
+    tricky = ('<meta name="description" content="convert charset=shift_jis">'
+              '<meta charset="utf-8"><p>模型</p>').encode("utf-8")
+    assert "模型" in decode_html_bytes(tricky)
+    # commented-out meta is not a declaration
+    commented = ('<!-- <meta charset="koi8-r"> --><p>é</p>').encode("utf-8")
+    assert "é" in decode_html_bytes(commented)
+    # WHATWG: meta-DECLARED utf-16 over ascii-compatible bytes decodes as
+    # utf-8 (the declaration was readable, so the bytes are not utf-16)
+    lying = b'<meta charset="utf-16"><p>plain ascii text</p>'
+    assert "plain ascii text" in decode_html_bytes(lying)
