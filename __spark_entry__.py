@@ -304,6 +304,28 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H q17 analog): lineitems whose
+    quantity is below 20% of their part's average quantity.  Decorrelated
+    the Spark-native way — a window aggregate per part key instead of a
+    per-row subquery — and kept in the exact integer domain:
+    q < 0.2 * sum/cnt  ⇔  5 * q_e2 * cnt < sum_e2 (cnt > 0)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q_e2 = _e(F.col("l_quantity"), 2)
+    w = Window.partitionBy("l_partkey")
+    x = li.select(
+        "l_partkey",
+        q_e2.alias("q_e2"),
+        _e(F.col("l_extendedprice"), 2).alias("price_e2"),
+    ).withColumn("sum_q_e2", F.sum("q_e2").over(w)) \
+     .withColumn("cnt", F.count("*").over(w))
+    return (
+        x.where(F.lit(5) * F.col("q_e2") * F.col("cnt") < F.col("sum_q_e2"))
+         .agg(F.sum("price_e2").cast("bigint").alias("total_price_e2"),
+              F.count("*").alias("n_rows"))
+    )
+
+
 def q_priority_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join shape: customers with no orders at all."""
     c = _t(spark, sf_dir, "customer")
@@ -416,6 +438,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5, so the DuckDB oracle embeds the SAME planes as literal arrays and
     the whole candidate-generation + re-rank is exactly hash-checked."""
     return similarity.lsh_bucketed_topk(_emb_double(spark, sf_dir), [0, 1, 2, 3, 4], k=5)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid cells + nprobe probing + exact re-rank —
+    exactly oracle-able because centroids are a deterministic id prefix."""
+    return similarity.ivf_topk(_emb_double(spark, sf_dir), [0, 1, 2, 3, 4],
+                               k=5, n_cells=16, nprobe=2)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q12": q_tpch_q12,
+        "tpch_q17": q_tpch_q17,
         "orders_semi": q_orders_semi,
         "customers_anti": q_priority_anti,
         "supplier_distinct": q_supplier_distinct,
@@ -600,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -677,11 +708,17 @@ def _banded_sql(bands: int, rows: int) -> str:
     return "\nUNION ALL\n".join(selects)
 
 
-_COS_SQL = ("CASE WHEN sqrt(list_dot_product(a.v, a.v))"
-            " * sqrt(list_dot_product(b.v, b.v)) = 0 THEN NULL"
-            " ELSE list_dot_product(a.v, b.v)"
-            " / (sqrt(list_dot_product(a.v, a.v))"
-            " * sqrt(list_dot_product(b.v, b.v))) END")
+def _cos_sql(x: str, y: str) -> str:
+    """Zero-norm-safe cosine over DOUBLE[] exprs — mirrors similarity.cosine
+    term-for-term (same dot arg order, same den product order)."""
+    return (f"CASE WHEN sqrt(list_dot_product({x}, {x}))"
+            f" * sqrt(list_dot_product({y}, {y})) = 0 THEN NULL"
+            f" ELSE list_dot_product({x}, {y})"
+            f" / (sqrt(list_dot_product({x}, {x}))"
+            f" * sqrt(list_dot_product({y}, {y}))) END")
+
+
+_COS_SQL = _cos_sql("a.v", "b.v")
 
 
 _DOCS2 = """docs2 AS (
@@ -877,6 +914,22 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY l_linestatus
 """
 
+    q["tpch_q17"] = """
+WITH x AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity * 100) AS BIGINT) AS q_e2,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_e2
+  FROM lineitem
+), y AS (
+  SELECT *,
+         CAST(sum(q_e2) OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_q_e2,
+         count(*) OVER (PARTITION BY l_partkey) AS cnt
+  FROM x
+)
+SELECT CAST(sum(price_e2) AS BIGINT) AS total_price_e2, count(*) AS n_rows
+FROM y WHERE 5 * q_e2 * cnt < sum_q_e2
+"""
+
     q["orders_semi"] = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
@@ -1029,6 +1082,40 @@ s AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY score_e6 DESC, neighbor_id) AS rk
   FROM s WHERE score_e6 IS NOT NULL
+)
+SELECT query_id, neighbor_id, score_e6, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 5
+"""
+
+    q["ann_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, v AS cvec FROM e WHERE vec_id < 16),
+scored AS (
+  SELECT e.vec_id, e.v, cent.cell_id,
+         CAST(floor(({_cos_sql('e.v', 'cent.cvec')}) * 1e6) AS BIGINT) AS cscore_e6
+  FROM e CROSS JOIN cent
+  WHERE floor(({_cos_sql('e.v', 'cent.cvec')}) * 1e6) IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cscore_e6 DESC, cell_id) AS crank
+  FROM scored
+),
+assign AS (SELECT vec_id AS neighbor_id, v AS nv, cell_id
+           FROM ranked WHERE crank = 1),
+qcells AS (SELECT vec_id AS query_id, v AS qv, cell_id
+           FROM ranked WHERE vec_id < 5 AND crank <= 2),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(({_cos_sql('qv', 'nv')}) * 1e6) AS BIGINT) AS score_e6
+  FROM qcells JOIN assign ON qcells.cell_id = assign.cell_id
+  WHERE neighbor_id <> query_id
+    AND floor(({_cos_sql('qv', 'nv')}) * 1e6) IS NOT NULL
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_e6 DESC, neighbor_id) AS rk
+  FROM s
 )
 SELECT query_id, neighbor_id, score_e6, CAST(rk AS INT) AS rank
 FROM r WHERE rk <= 5

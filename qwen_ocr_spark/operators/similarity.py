@@ -232,6 +232,64 @@ def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_cells: int = 16, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: the other classic scale path beside LSH.
+
+    Coarse-quantize every vector to its nearest centroid cell (centroids =
+    the vectors with id < n_cells — a deterministic stand-in for a seeded
+    k-means sample, which keeps the whole operator exactly oracle-able);
+    each query probes its ``nprobe`` nearest cells and exact-re-ranks only
+    the vectors assigned there.  Cost model: assignment is one broadcast
+    join of N rows against n_cells centroids (N*K scores, map-side only);
+    a query then scans ~ nprobe/n_cells of the corpus.  Scale n_cells ~
+    sqrt(N) and the probed fraction shrinks as the corpus grows — the
+    standard IVF trade.  Ties (equal scores) break on cell id, so
+    assignment is total and engine-reproducible."""
+    cent = F.broadcast(
+        emb.where(F.col(id_col) < n_cells)
+           .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
+    )
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(cent)
+        .select(
+            id_col, vec_col, "cell_id",
+            F.floor(cosine(F.col(vec_col), F.col("cvec")) * 1e6)
+             .cast("bigint").alias("cscore_e6"),
+        )
+        .where(F.col("cscore_e6").isNotNull())
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("cscore_e6"), F.asc("cell_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w_assign))
+    assign = ranked.where(F.col("crank") == 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        "cell_id")
+    qcells = ranked.where(F.col(id_col).isin(query_ids)
+                          & (F.col("crank") <= nprobe)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        "cell_id")
+    joined = (
+        F.broadcast(qcells).join(assign, on="cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.floor(cosine(F.col("qv"), F.col("nv")) * 1e6)
+             .cast("bigint").alias("score_e6"),
+        )
+        .where(F.col("score_e6").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"),
+                                               F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score_e6", "rank")
+    )
+
+
 def embedding_near_dups(emb: DataFrame, threshold_e6: int = 999_000,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         bands: int = LSH_BANDS, rows: int = LSH_ROWS,

@@ -194,3 +194,16 @@ def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
     out2 = {(r["id_a"], r["id_b"]) for r in
             dedup.ngram_jaccard_pairs(df, threshold=0.99, max_df=None).collect()}
     assert (1, 2) in out2
+
+
+def test_ivf_topk_finds_near_dups(emb):
+    """IVF probing: near-identical vectors share a nearest-centroid cell,
+    so the scale path must find them; scores are exact cosine."""
+    res = similarity.ivf_topk(emb, [1], k=3, n_cells=8, nprobe=2)
+    rows = sorted(res.collect(), key=lambda r: r["rank"])
+    ids = [r["neighbor_id"] for r in rows]
+    assert 101 in ids and 100 in ids
+    exact = {r["neighbor_id"]: r["score_e6"]
+             for r in similarity.cosine_topk(emb, [1], k=10).collect()}
+    for r in rows:
+        assert r["score_e6"] == exact[r["neighbor_id"]]
