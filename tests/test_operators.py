@@ -207,3 +207,29 @@ def test_ivf_topk_finds_near_dups(emb):
              for r in similarity.cosine_topk(emb, [1], k=10).collect()}
     for r in rows:
         assert r["score_e6"] == exact[r["neighbor_id"]]
+
+
+def test_timeseries_plans_have_no_nested_loops(spark):
+    """Scale contract for the new joins: as-of is window-only (no join at
+    all), the range join is a pure EQUI-join on (key, bucket) — a nested
+    loop or cartesian in either plan means the range predicate leaked into
+    the join condition."""
+    from qwen_ocr_spark.operators import timeseries
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.where(F.col("event_type") == "signup")
+    right = ev.where(F.col("event_type") == "click")
+
+    asof_plan = timeseries.asof_join(
+        left.select("event_id", "user_id", "ts"),
+        right.select("event_id", "user_id", "ts", "value"),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in asof_plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in asof_plan, f"as-of join degenerated to {bad}"
+
+    range_plan = timeseries.bucketed_range_agg(
+        left, right, window_sec=3600,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in range_plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in range_plan, f"range join degenerated to {bad}"
