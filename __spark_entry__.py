@@ -548,6 +548,21 @@ def q_events_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column extraction (semi-structured surface): parse props and
+    aggregate the extracted field per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+          .where(F.col("k").isNotNull())
+          .groupBy("event_type")
+          .agg(F.count("*").alias("n"),
+               F.sum("k").alias("sum_k"),
+               F.max("k").alias("max_k"))
+    )
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's most recent prior
     click (union + carry-forward — one shuffle, no inequality join)."""
@@ -643,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_total": q_events_running_total,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
+        "events_props_json": q_events_props_json,
     }
 
 
@@ -1258,6 +1274,18 @@ SELECT event_id, user_id,
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS session_num
 FROM g
+"""
+
+    q["events_props_json"] = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM x WHERE k IS NOT NULL
+GROUP BY event_type
 """
 
     q["events_asof"] = """
