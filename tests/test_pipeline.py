@@ -215,3 +215,55 @@ def test_salted_repartition_balances_hot_domain(spark, pages):
     ]
     mean = sum(sizes) / len(sizes)
     assert max(sizes) <= 2.5 * mean
+
+
+def test_cancellation_then_resume(spark, tmp_path):
+    """E3 direct test: cancel a running extraction job group mid-flight,
+    then resume — committed work survives, the final table equals a clean
+    run's, nothing reprocessed twice."""
+    import threading
+    import time as _time
+
+    out_path = str(tmp_path / "out")
+    man_path = str(tmp_path / "manifest")
+    sc = spark.sparkContext
+    pages_big = synth_pages(spark, 1500, seed=9, partitions=8)
+    errs: list[Exception] = []
+
+    def run():
+        sc.setJobGroup("cancel-me", "cancellation test")  # thread-local
+        try:
+            write_output(extract_pages(pages_big, partitions=8),
+                         out_path, man_path, "run1")
+        except Exception as e:  # cancellation surfaces as a job failure
+            errs.append(e)
+        finally:
+            sc.setJobGroup(None, None)
+
+    t = threading.Thread(target=run)
+    t.start()
+    # wait until the job is actually running, then cancel it
+    tracker = sc.statusTracker()
+    for _ in range(200):
+        if tracker.getActiveJobsIds():
+            break
+        _time.sleep(0.05)
+    sc.cancelJobGroup("cancel-me")
+    t.join(120)
+    assert not t.is_alive()
+
+    # whether the cancel landed mid-write (errs non-empty, partial/absent
+    # output) or raced a fast finish, the resume path must converge to the
+    # complete, correct table
+    remaining = resume_filter(pages_big, out_path)
+    write_output(extract_pages(remaining, partitions=8),
+                 out_path, man_path, "run2")
+    final = spark.read.parquet(out_path)
+    assert final.select("url").distinct().count() == 1500
+    assert final.count() == 1500
+    oneshot = {r["url"]: r["digest"]
+               for r in extract_pages(pages_big, partitions=4)
+               .select("url", "digest").collect()}
+    resumed = {r["url"]: r["digest"]
+               for r in final.select("url", "digest").collect()}
+    assert oneshot == resumed
