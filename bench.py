@@ -160,9 +160,10 @@ def run_scaling() -> dict:
         # primary-pair retry: if the 2→8 efficiency looks degraded, re-run
         # BOTH ends once in fresh JVMs and keep each end's best rate — the
         # whole-session degraded mode hits one JVM, not the workload
+        # (healthy sessions measure 0.9-1.0; the gate is 0.8)
         eff = (out["local[8]"]["docs_per_sec"]
                / out["local[2]"]["docs_per_sec"]) / 4.0
-        if eff < 0.85:
+        if eff < 0.90:
             for master in ("local[2]", "local[8]"):
                 r2 = run_child(master)
                 if r2["docs_per_sec"] > out[master]["docs_per_sec"]:
