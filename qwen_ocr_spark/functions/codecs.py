@@ -194,11 +194,15 @@ def decode_pgm(data: bytes) -> np.ndarray:
         while pos < len(data) and not data[pos:pos + 1].isspace():
             pos += 1
         fields.append(int(data[start:pos]))
-    # exactly one whitespace separator after maxval — but Windows writers
-    # emit \r\n as the separator, which must count as ONE (a raster whose
-    # first pixel is 0x0A, off by one byte, would otherwise decode wrong)
-    pos += 2 if data[pos:pos + 2] == b"\r\n" else 1
     w, h, maxval = fields
+    # spec: exactly ONE whitespace separator after maxval.  Windows writers
+    # emit \r\n; a naive 2-byte skip would instead eat a legitimate 0x0A
+    # first PIXEL after a bare-\r separator.  Disambiguate by size: treat
+    # \r\n as one separator only when the remaining byte count proves it.
+    pos += 1
+    if (data[pos - 1:pos] == b"\r" and data[pos:pos + 1] == b"\n"
+            and len(data) - pos == w * h + 1):
+        pos += 1
     if maxval > 255:
         raise ValueError("16-bit PGM unsupported")
     px = np.frombuffer(data[pos:pos + w * h], np.uint8)

@@ -319,7 +319,9 @@ class _MetaCharsetSniffer(HTMLParser):
         if tag != "meta" or self.charset is not None:
             return
         ad = {k: (v or "") for k, v in attrs}
-        if "charset" in ad:
+        if ad.get("charset", "").strip():
+            # a valueless/empty charset attr is NOT a declaration — it must
+            # not shadow a later real one
             self.charset = ad["charset"].strip()
         elif ad.get("http-equiv", "").lower() == "content-type":
             m = _CHARSET_IN_CONTENT_RE.search(ad.get("content", ""))
@@ -362,7 +364,7 @@ def decode_html_bytes(payload: bytes) -> str:
     if declared:
         try:
             enc = codecs.lookup(declared).name
-        except LookupError:
+        except (LookupError, ValueError):  # ValueError: embedded NUL etc.
             enc = "utf-8"
         if enc.startswith("utf-16") or enc.startswith("utf-32"):
             enc = "utf-8"

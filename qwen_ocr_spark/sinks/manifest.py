@@ -11,11 +11,12 @@ E4): every completed write also appends per-partition manifest rows
 where ``content_digest = sha256(concat(sorted per-row digests))`` — a pure
 function of the partition's row set, so a resumed/retried run producing the
 same rows produces the same manifest (the byte-identity invariant makes
-this sound).  Manifest rows are keyed ``(run_id, partition_id)``: partition
-ids from different runs are different row sets, and each append computes
-its manifest from the SAME DataFrame lineage being written — never by
-re-reading the output directory, which would rescan the whole table
-(O(total-data) per commit at 100 TB) and double-count prior runs.
+this sound).  Manifest rows are keyed ``(run_id, partition_id)``: the
+output table is partitioned by ``run_id`` and each commit aggregates a
+read-back of ONLY its own run directory — O(this append), never a rescan
+of the whole table (O(total-data) per commit at 100 TB) — with the append
+made replay-idempotent by skipping run_ids the manifest already records
+(streaming re-delivers batch ids; batch runs mint unique uuids).
 
 Resume = **left-anti join** of the input against the committed output's
 ``url`` set: already-extracted documents are never reprocessed.  At 10^12
@@ -39,8 +40,9 @@ from pyspark.sql.utils import AnalysisException
 
 def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
                  run_id: str) -> int:
-    """Append the extraction output, then append THIS write's manifest rows.
-    Returns the number of rows committed by this write.
+    """Append the extraction output, then append THIS run's manifest rows.
+    Returns the number of output rows newly covered by manifest lineage
+    (0 on a full replay whose run_id the manifest already records).
 
     The output table is partitioned by ``run_id``; the manifest aggregates
     a read-back of ONLY this run's directory (``out_path/run_id=<id>``) —
@@ -80,6 +82,20 @@ def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
         written = spark.read.parquet(f"{out_path}/run_id={run_id}")
     except AnalysisException:
         return 0  # empty batch: the partitioned write created no run dir
+    # replay idempotence: a re-delivered streaming batch reuses its run_id
+    # with an empty todo (the resume anti-join drained it), but the run dir
+    # still holds the first attempt's rows — append manifest rows for a
+    # run_id at most once (the manifest is tiny; this read is O(manifest))
+    try:
+        already = (
+            spark.read.parquet(manifest_path)
+            .where(F.col("run_id") == run_id)
+            .limit(1).count() > 0
+        )
+    except AnalysisException:
+        already = False
+    if already:
+        return 0
     manifest_rows = (
         written
         .groupBy("partition_id")

@@ -13,6 +13,18 @@ import argparse
 import uuid
 
 
+def _manifest_total(spark, manifest_path: str) -> int:
+    """Sum of committed row counts; 0 only when the manifest doesn't exist
+    yet (a genuinely empty first run) — other read failures propagate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+    try:
+        man = spark.read.parquet(manifest_path)
+    except AnalysisException:
+        return 0
+    return man.agg(F.sum("row_count")).collect()[0][0] or 0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True, help="input pages parquet/table dir")
@@ -56,12 +68,7 @@ def main() -> None:
                            args.checkpoint, available_now=not args.continuous,
                            figures_path=args.figures)
         q.awaitTermination()
-        try:
-            man = spark.read.parquet(args.manifest)
-            total = man.agg(F.sum("row_count")).collect()[0][0] or 0
-        except Exception:
-            total = 0  # no batch committed anything yet
-        print(f"stream: committed total={total}")
+        print(f"stream: committed total={_manifest_total(spark, args.manifest)}")
         spark.stop()
         return
 
@@ -81,11 +88,7 @@ def main() -> None:
     new_rows = write_output(out, args.out, args.manifest, run_id)
 
     # report from the manifest (tiny), never by rescanning the output table
-    try:
-        man = spark.read.parquet(args.manifest)
-        total = man.agg(F.sum("row_count")).collect()[0][0] or 0
-    except Exception:
-        total = 0  # nothing committed yet (empty first run)
+    total = _manifest_total(spark, args.manifest)
     print(f"{run_id}: committed new={new_rows} total={total}")
     spark.stop()
 

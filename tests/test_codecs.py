@@ -114,3 +114,12 @@ def test_bmp_rgba_drops_alpha_not_corrupts():
     assert np.array_equal(out, rgba[:, :, :3])
     with pytest.raises(ValueError):
         codecs.encode_bmp(np.zeros((4, 4, 2), dtype=np.uint8))
+
+
+def test_pgm_bare_cr_separator_with_newline_pixel():
+    """A bare-\\r separator followed by a legitimate 0x0A first PIXEL must
+    not be mistaken for a CRLF separator (size disambiguates)."""
+    img = _img(2, 3).copy()
+    img[0, 0] = 0x0A
+    data = b"P5\n3 2\n255\r" + img.tobytes()
+    assert np.array_equal(codecs.decode_pgm(data), img)

@@ -227,3 +227,13 @@ def test_decode_html_bytes_sniff_is_not_fooled():
     # utf-8 (the declaration was readable, so the bytes are not utf-16)
     lying = b'<meta charset="utf-16"><p>plain ascii text</p>'
     assert "plain ascii text" in decode_html_bytes(lying)
+
+
+def test_decode_html_bytes_hostile_declarations():
+    from qwen_ocr_spark.functions.htmlx import decode_html_bytes
+    # NUL byte inside a declared charset: codecs.lookup raises ValueError,
+    # which must fall back to utf-8, never crash the document
+    assert "ok" in decode_html_bytes(b'<meta charset="utf\x00-8"><p>ok</p>')
+    # a valueless <meta charset> must not shadow the real declaration
+    page = '<meta charset><meta charset="latin-1"><p>caf\xe9</p>'.encode("latin-1")
+    assert "café" in decode_html_bytes(page)

@@ -45,6 +45,13 @@ def test_stream_extract_incremental(spark, tmp_path):
     replayed = spark.read.parquet(out)
     assert replayed.count() == 90
     assert replayed.select("url").distinct().count() == 90
+    # the manifest must not inflate either: re-delivered batch ids reuse
+    # their run_id, whose run dir still holds attempt 1's rows — the append
+    # is keyed by run_id and skipped on replay
+    man_df = spark.read.parquet(man)
+    assert man_df.agg(F.sum("row_count")).collect()[0][0] == 90
+    keys = man_df.select("run_id", "partition_id")
+    assert keys.count() == keys.distinct().count()
 
 
 def test_events_hourly_stream_watermark(spark, tmp_path):
