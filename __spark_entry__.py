@@ -22,7 +22,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from qwen_ocr_spark.operators import dedup, similarity, textstats, timeseries
+from qwen_ocr_spark.operators import (
+    dedup,
+    sampling,
+    similarity,
+    textstats,
+    timeseries,
+)
 from qwen_ocr_spark.operators.extract import extract_pages, figures_table
 from qwen_ocr_spark.sources.pages import pages_from_documents
 
@@ -488,6 +494,26 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 10% sample — identical row set on any cluster
+    size / engine / day (reproducible, unlike RNG-based sample())."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.hash_sample(docs, pct=10.0)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5 bucket."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_split(docs, train_pct=80.0, val_pct=10.0)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs assigned to ~2000-token bins per language
+    via one window cumsum (the training-dataloader greedy rule)."""
+    docs = textstats.with_token_count(_t(spark, sf_dir, "documents"))
+    return sampling.pack_sequences(docs, bin_tokens=2000)
+
+
 def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k per group: 3 longest documents per language."""
     docs = _t(spark, sf_dir, "documents")
@@ -651,6 +677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "hash_sample": q_hash_sample,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
         "top_docs_per_lang": q_top_docs_per_lang,
         "events_hourly": q_events_hourly,
         "events_median": q_events_median,
@@ -1229,6 +1258,40 @@ FROM g
 SELECT doc_id,
        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
 FROM documents
+"""
+
+    from qwen_ocr_spark.operators.sampling import _bucket_hex
+    _b = "substring(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 4)"
+    q["hash_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_b} < '{_bucket_hex(0.10)}'
+"""
+
+    q["hash_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {_b} < '{_bucket_hex(0.80)}' THEN 'train'
+            WHEN {_b} < '{_bucket_hex(0.90)}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+    q["pack_sequences"] = """
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT lang, doc_id, n_tokens,
+       CAST(floor(cum_before / 2000) AS BIGINT) AS bin_id
+FROM c
 """
 
     q["top_docs_per_lang"] = """

@@ -233,3 +233,44 @@ def test_timeseries_plans_have_no_nested_loops(spark):
     assert "Join" in range_plan
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in range_plan, f"range join degenerated to {bad}"
+
+
+def test_hash_split_disjoint_exhaustive_and_stable(spark):
+    from qwen_ocr_spark.operators import sampling
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id")
+    split = sampling.hash_split(docs, 80, 10)
+    counts = {r["split"]: r["count"] for r in split.groupBy("split").count().collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n                       # exhaustive
+    assert 0.7 * n < counts["train"] < 0.9 * n             # ~80%
+    assert counts["val"] > 0 and counts["test"] > 0
+    # stability: repartitioning must not change any assignment
+    again = sampling.hash_split(docs.repartition(7), 80, 10)
+    a = {r["doc_id"]: r["split"] for r in split.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+    # sample is a subset-by-content: same rows at any parallelism
+    s1 = {r["doc_id"] for r in sampling.hash_sample(docs, 25).collect()}
+    s2 = {r["doc_id"] for r in sampling.hash_sample(docs.repartition(3), 25).collect()}
+    assert s1 == s2 and 0.15 * n < len(s1) < 0.35 * n
+
+
+def test_pack_sequences_budget_property(spark):
+    from qwen_ocr_spark.operators import sampling
+    docs = textstats.with_token_count(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    packed = sampling.pack_sequences(docs, bin_tokens=2000).collect()
+    bins = {}
+    for r in packed:
+        bins.setdefault((r["lang"], r["bin_id"]), []).append(r["n_tokens"])
+    for (lang, b), toks in bins.items():
+        # greedy rule: a bin only exceeds the budget by (at most) its last
+        # doc, and without its last-started doc it is under budget
+        assert sum(toks) - max(toks) < 2000 + max(toks)
+    # bin ids are dense from 0 per group
+    per_group = {}
+    for (lang, b), _ in bins.items():
+        per_group.setdefault(lang, set()).add(b)
+    for lang, ids in per_group.items():
+        assert ids == set(range(len(ids)))
