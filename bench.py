@@ -226,6 +226,9 @@ def main() -> None:
             df.count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # queries that persist intermediates (ngram's capped shingles) must
+        # not occupy storage memory while later queries are timed
+        spark.catalog.clearCache()
 
     # direct extraction throughput on the synthetic corpus at this session's
     # full parallelism
