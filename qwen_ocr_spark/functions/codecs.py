@@ -195,13 +195,16 @@ def decode_pgm(data: bytes) -> np.ndarray:
             pos += 1
         fields.append(int(data[start:pos]))
     w, h, maxval = fields
-    # spec: exactly ONE whitespace separator after maxval.  Windows writers
-    # emit \r\n; a naive 2-byte skip would instead eat a legitimate 0x0A
-    # first PIXEL after a bare-\r separator.  Disambiguate by size: treat
-    # \r\n as one separator only when the remaining byte count proves it.
+    # spec: exactly ONE whitespace separator after maxval, but Windows
+    # writers emit \r\n.  A \r followed by \n is genuinely ambiguous in
+    # binary PGM (CRLF separator vs bare-\r separator + 0x0A first pixel);
+    # disambiguate by size: when skipping only the \r leaves EXACTLY w*h
+    # raster bytes, the \n is a pixel (keep it); when there is at least one
+    # spare byte, CRLF writers are overwhelmingly the real-world case —
+    # treat the pair as one separator.
     pos += 1
     if (data[pos - 1:pos] == b"\r" and data[pos:pos + 1] == b"\n"
-            and len(data) - pos == w * h + 1):
+            and len(data) - pos >= w * h + 1):
         pos += 1
     if maxval > 255:
         raise ValueError("16-bit PGM unsupported")

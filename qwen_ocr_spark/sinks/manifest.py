@@ -39,10 +39,15 @@ from pyspark.sql.utils import AnalysisException
 
 
 def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
-                 run_id: str) -> int:
+                 run_id: str, replayable: bool = False) -> int:
     """Append the extraction output, then append THIS run's manifest rows.
     Returns the number of output rows newly covered by manifest lineage
     (0 on a full replay whose run_id the manifest already records).
+
+    ``replayable=True`` (streaming): the caller may re-deliver the same
+    run_id, so the manifest append first checks whether the run_id is
+    already recorded (an O(manifest) read).  Batch callers mint unique
+    uuids and skip that read — the check could never match.
 
     The output table is partitioned by ``run_id``; the manifest aggregates
     a read-back of ONLY this run's directory (``out_path/run_id=<id>``) —
@@ -86,16 +91,17 @@ def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
     # with an empty todo (the resume anti-join drained it), but the run dir
     # still holds the first attempt's rows — append manifest rows for a
     # run_id at most once (the manifest is tiny; this read is O(manifest))
-    try:
-        already = (
-            spark.read.parquet(manifest_path)
-            .where(F.col("run_id") == run_id)
-            .limit(1).count() > 0
-        )
-    except AnalysisException:
-        already = False
-    if already:
-        return 0
+    if replayable:
+        try:
+            already = (
+                spark.read.parquet(manifest_path)
+                .where(F.col("run_id") == run_id)
+                .limit(1).count() > 0
+            )
+        except AnalysisException:
+            already = False
+        if already:
+            return 0
     manifest_rows = (
         written
         .groupBy("partition_id")

@@ -51,6 +51,22 @@ def stream_extract(spark: SparkSession, input_dir: str, out_path: str,
         .parquet(input_dir)
     )
 
+    # run_ids must be stable across restarts of ONE checkpoint lineage
+    # (replay idempotence keys on them) but unique across lineages: a
+    # wiped/replaced checkpoint restarts batch ids at 0, and a bare
+    # "stream-{batch_id}" would collide with the previous lineage's run_id,
+    # silently skipping manifest lineage for genuinely new rows.  A token
+    # minted once per checkpoint directory gives exactly that scope.
+    import pathlib
+    import uuid
+    tok_file = pathlib.Path(checkpoint) / "run_token"
+    tok_file.parent.mkdir(parents=True, exist_ok=True)
+    if tok_file.exists():
+        token = tok_file.read_text().strip()
+    else:
+        token = uuid.uuid4().hex[:8]
+        tok_file.write_text(token)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # idempotence vs foreachBatch replay: drop urls already committed
         todo = resume_filter(batch_df, out_path)
@@ -58,7 +74,8 @@ def stream_extract(spark: SparkSession, input_dir: str, out_path: str,
         if figures_path is not None:
             out = out.cache()
             write_figures(out, figures_path)
-        write_output(out, out_path, manifest_path, run_id=f"stream-{batch_id}")
+        write_output(out, out_path, manifest_path,
+                     run_id=f"stream-{token}-{batch_id}", replayable=True)
         if figures_path is not None:
             out.unpersist()
 

@@ -47,8 +47,6 @@ def main() -> None:
                          "what's available and exiting")
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
     from qwen_ocr_spark.operators.extract import extract_pages
     from qwen_ocr_spark.plans.session import get_spark
     from qwen_ocr_spark.sinks.manifest import (

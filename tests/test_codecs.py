@@ -123,3 +123,11 @@ def test_pgm_bare_cr_separator_with_newline_pixel():
     img[0, 0] = 0x0A
     data = b"P5\n3 2\n255\r" + img.tobytes()
     assert np.array_equal(codecs.decode_pgm(data), img)
+
+
+def test_pgm_crlf_with_trailing_newline():
+    """CRLF after maxval plus a trailing newline at EOF (common Windows
+    shape): the \\n after \\r is the separator, not a pixel."""
+    img = _img(2, 3)
+    data = b"P5\n3 2\n255\r\n" + img.tobytes() + b"\n"
+    assert np.array_equal(codecs.decode_pgm(data), img)

@@ -53,6 +53,17 @@ def test_stream_extract_incremental(spark, tmp_path):
     keys = man_df.select("run_id", "partition_id")
     assert keys.count() == keys.distinct().count()
 
+    # NEW files landing under the wiped (= fresh lineage) checkpoint must
+    # still gain manifest lineage: batch ids restart at 0, so run_ids need
+    # a per-checkpoint token or the idempotence check would silently skip
+    # them (caught in review round 2)
+    synth_pages(spark, 25, seed=42, partitions=2, start=5000) \
+        .write.mode("append").parquet(in_dir)
+    q = stream_extract(spark, in_dir, out, man, ckpt)
+    q.awaitTermination(180)
+    assert spark.read.parquet(out).count() == 115
+    assert spark.read.parquet(man).agg(F.sum("row_count")).collect()[0][0] == 115
+
 
 def test_events_hourly_stream_watermark(spark, tmp_path):
     src = str(tmp_path / "ev")
