@@ -1041,13 +1041,11 @@ WITH {_simhash_cte('documents')}
 SELECT doc_id, simhash FROM sig
 """
 
-    from qwen_ocr_spark.operators.dedup import SIMHASH_RADIUS
-    _chunks = SIMHASH_RADIUS + 1
-    _cw = 32 // _chunks
+    from qwen_ocr_spark.operators.dedup import SIMHASH_RADIUS, simhash_chunk_bounds
     chunk_selects = "\nUNION ALL\n".join(
-        f"SELECT doc_id, simhash, '{c}|' || substring(simhash, {c * _cw + 1}, {_cw})"
+        f"SELECT doc_id, simhash, '{c}|' || substring(simhash, {start}, {width})"
         " AS chunk_key FROM sig"
-        for c in range(_chunks)
+        for c, (start, width) in enumerate(simhash_chunk_bounds(SIMHASH_RADIUS))
     )
     q["simhash_pairs"] = f"""
 WITH {_DOCS2},

@@ -134,27 +134,41 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select(F.col(id_col), bits.alias("simhash"))
 
 
+def simhash_chunk_bounds(radius: int, sig_bits: int = 32) -> list[tuple[int, int]]:
+    """1-based (start, width) of each pigeonhole chunk, covering ALL bits:
+    the remainder of ``sig_bits / (radius + 1)`` is spread one extra bit per
+    leading chunk so no trailing bits fall outside every bucket key (which
+    would silently coarsen the buckets when radius+1 doesn't divide 32)."""
+    chunks = radius + 1
+    base, rem = divmod(sig_bits, chunks)
+    bounds, start = [], 1
+    for c in range(chunks):
+        width = base + (1 if c < rem else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        radius: int = SIMHASH_RADIUS) -> DataFrame:
     """SimHash neighbor search: (id_a < id_b, hamming) pairs within radius.
 
     Pigeonhole bucketing: the 32-bit signature splits into ``radius + 1``
-    equal chunks; any pair within hamming distance <= radius agrees exactly
-    on at least one chunk, so candidates = equi-join on (chunk_idx, chunk
-    bits) — sub-quadratic like the MinHash band join — then the exact
-    distance check is one bit_count(xor) per candidate.  Bucket count per
-    chunk is 2^(32/(radius+1)); scale radius/signature width together."""
-    chunks = radius + 1
-    width = 32 // chunks
+    near-equal chunks covering every bit (``simhash_chunk_bounds``); any
+    pair within hamming distance <= radius agrees exactly on at least one
+    chunk, so candidates = equi-join on (chunk_idx, chunk bits) —
+    sub-quadratic like the MinHash band join — then the exact distance
+    check is one bit_count(xor) per candidate.  Bucket count per chunk is
+    2^chunk_width; scale radius/signature width together."""
     sig = simhash32(df, id_col, text_col)
     sig = sig.select(
         F.col(id_col), "simhash",
         F.conv(F.col("simhash"), 2, 10).cast("bigint").alias("sig_int"),
     )
     chunk_keys = F.array(*[
-        F.concat(F.lit(f"{c}|"), F.substring("simhash", c * width + 1, width))
-        for c in range(chunks)
+        F.concat(F.lit(f"{c}|"), F.substring("simhash", start, width))
+        for c, (start, width) in enumerate(simhash_chunk_bounds(radius))
     ])
     stacked = sig.select(
         F.col(id_col), "sig_int", F.explode(chunk_keys).alias("chunk_key")
@@ -182,7 +196,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = SHINGLE_N,
                         threshold: float = 0.8,
                         max_df: int | None = MAX_SHINGLE_DF,
-                        persist: bool = True) -> DataFrame:
+                        persist: bool = True,
+                        storage: list | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above threshold.
 
     inter(a,b) via a shingle-key equi-join; |A|,|B| via per-doc counts;
@@ -194,9 +209,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     The capped shingle relation feeds three consumers (sizes + both join
     sides); ``persist=True`` caches it MEMORY_AND_DISK so the explode +
     distinct + df-filter runs once instead of three times (3x measured at
-    sf0.1).  Storage is LRU-evicted under pressure, which bounds
-    accumulation across calls in a long-lived session; pass persist=False
-    to opt out."""
+    sf0.1).  A long-lived session should release that storage explicitly
+    once the result is materialized: pass a list as ``storage`` and the
+    persisted intermediate is appended to it for the caller to
+    ``unpersist()`` (LRU eviction is the only backstop otherwise)."""
     sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
         keep = (
@@ -208,6 +224,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         sh = sh.join(keep, on="shingle")
     if persist:
         sh = sh.persist()
+        if storage is not None:
+            storage.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (

@@ -33,7 +33,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-N_PLANES = 8       # legacy flat-signature width (with_lsh_signature)
 LSH_BANDS = 4      # near-dup defaults: 4 bands x 16 planes = 64 planes total
 LSH_ROWS = 16
 ANN_BANDS = 4      # top-k ANN defaults: looser buckets (2^8 per band) —
@@ -104,24 +103,6 @@ def _plane(plane: int, dims: int) -> list[float]:
         int(hashlib.md5(f"{plane}|{d}".encode()).hexdigest()[:6], 16) / 16777216.0 - 0.5
         for d in range(dims)
     ]
-
-
-def with_lsh_signature(emb: DataFrame, vec_col: str = "embedding",
-                       n_planes: int = N_PLANES, dims: int = 64) -> DataFrame:
-    """Sign-LSH signature string: bit p = (dot(v, plane_p) >= 0)."""
-    v = F.col(vec_col)
-    bits = []
-    for p in range(n_planes):
-        # literal plane, trimmed per-row to the vector's length so shorter
-        # embeddings don't zip against nulls
-        w = F.slice(F.array(*[F.lit(x) for x in _plane(p, dims)]), 1, F.size(v))
-        proj = F.aggregate(
-            F.zip_with(v, w, lambda x, wc: x * wc),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return emb.withColumn("lsh_sig", F.concat(*bits))
 
 
 def _element_cols(vec_col: str, dims: int) -> list:

@@ -177,6 +177,28 @@ def test_simhash_near_pairs_radius(spark):
     assert pairs.get((1, 2)) == 0
     # all returned pairs honor the radius bound
     assert all(h <= 3 for h in pairs.values())
+    # a radius whose chunk count does NOT divide 32 still covers every bit
+    # and still finds the distance-0 pair (remainder spread across chunks)
+    bounds = dedup.simhash_chunk_bounds(4)
+    assert sum(w for _, w in bounds) == 32
+    assert [s for s, _ in bounds] == [1, 8, 15, 21, 27]
+    pairs4 = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in dedup.simhash_near_pairs(df, radius=4).collect()}
+    assert pairs4.get((1, 2)) == 0
+
+
+def test_ngram_jaccard_storage_handle(spark):
+    """The persisted capped-shingle intermediate is handed back for explicit
+    release — a long-lived session must not rely on LRU eviction."""
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        columns=["doc_id", "text"]))
+    handles: list = []
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.5, storage=handles)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist(blocking=True)
+    assert not handles[0].is_cached
 
 
 def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
