@@ -146,6 +146,17 @@ def test_banded_lsh_recall_vs_exact(emb):
             assert r["score_e6"] == ex[k]
 
 
+def test_lsh_topk_storage_handle(emb):
+    """The persisted (id, band_key) signature relation is handed back for
+    explicit release, mirroring ngram_jaccard's contract."""
+    handles: list = []
+    res = similarity.lsh_bucketed_topk(emb, [1], k=3, storage=handles).collect()
+    assert res  # sanity: query still returns neighbors
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist(blocking=True)
+    assert not handles[0].is_cached
+
+
 def test_banded_buckets_shrink(spark):
     """The banding math: per-band bucket population stays far below N for
     spread-out vectors (the N^2/2^r join-cost claim), while exact
