@@ -69,13 +69,16 @@ def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
       whole table — and describes what is durably on disk, not what a
       snapshot claimed before the commit.
 
-    Known (documented) crash window: output commit and manifest append are
-    two parquet-directory commits, not one atomic snapshot.  A crash
-    between them leaves the rows committed (resume correctly skips them)
-    but their lineage/metric rows missing from the manifest — data and
-    resumability are unaffected, manifest totals undercount.  Iceberg
-    closes this window by making table + metadata one snapshot commit;
-    this function is the TableIO seam where that swap happens.
+    Known (and now self-healing) crash window: output commit and manifest
+    append are two parquet-directory commits, not one atomic snapshot.  A
+    crash between them leaves the rows committed (resume correctly skips
+    them) but their lineage/metric rows missing from the manifest — data
+    and resumability are unaffected; ``reconcile_manifest`` (called on
+    batch startup by the CLI) backfills the orphaned run's rows from the
+    same read-back path, shrinking the window to a single-run blip between
+    crash and next start.  Iceberg closes it entirely by making table +
+    metadata one snapshot commit; this function is the TableIO seam where
+    that swap happens.
     """
     spark = out_df.sparkSession
     (
@@ -83,25 +86,34 @@ def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
         .withColumn("run_id", F.lit(run_id))
         .write.mode("append").partitionBy("run_id").parquet(out_path)
     )
-    try:
-        written = spark.read.parquet(f"{out_path}/run_id={run_id}")
-    except AnalysisException:
-        return 0  # empty batch: the partitioned write created no run dir
     # replay idempotence: a re-delivered streaming batch reuses its run_id
     # with an empty todo (the resume anti-join drained it), but the run dir
     # still holds the first attempt's rows — append manifest rows for a
     # run_id at most once (the manifest is tiny; this read is O(manifest))
-    if replayable:
-        try:
-            already = (
-                spark.read.parquet(manifest_path)
-                .where(F.col("run_id") == run_id)
-                .limit(1).count() > 0
-            )
-        except AnalysisException:
-            already = False
-        if already:
-            return 0
+    if replayable and _manifest_has_run(spark, manifest_path, run_id):
+        return 0
+    return _append_manifest_rows(spark, out_path, manifest_path, run_id)
+
+
+def _manifest_has_run(spark: SparkSession, manifest_path: str, run_id: str) -> bool:
+    try:
+        return (
+            spark.read.parquet(manifest_path)
+            .where(F.col("run_id") == run_id)
+            .limit(1).count() > 0
+        )
+    except AnalysisException:
+        return False
+
+
+def _append_manifest_rows(spark: SparkSession, out_path: str,
+                          manifest_path: str, run_id: str) -> int:
+    """Aggregate manifest rows from a read-back of ONLY ``run_id``'s output
+    directory and append them; returns the row count now under lineage."""
+    try:
+        written = spark.read.parquet(f"{out_path}/run_id={run_id}")
+    except AnalysisException:
+        return 0  # empty batch: the partitioned write created no run dir
     manifest_rows = (
         written
         .groupBy("partition_id")
@@ -125,25 +137,83 @@ def write_output(out_df: DataFrame, out_path: str, manifest_path: str,
     return n_rows
 
 
-def write_figures(out_df: DataFrame, figures_path: str) -> None:
-    """Idempotently append the exploded figures side-output (analog of the
-    reference's images/{page}_fig{n}.png directory, keyed (url, page_number,
-    fig_number) — /root/reference/src/models/extracted_image.py:34-43).
+def reconcile_manifest(spark: SparkSession, out_path: str,
+                       manifest_path: str) -> int:
+    """Backfill manifest lineage for output run directories the manifest
+    doesn't record (a crash landed between the output commit and the
+    manifest append).  Returns the number of rows newly covered.
 
-    Urls already present in the figures table are anti-joined away, so the
-    figures write can safely run BEFORE the output commit that drives
-    resume: a crash between the two re-extracts the document on the next
-    run and this dedup swallows the replayed figures (at-least-once write,
-    exactly-once table contents)."""
-    from qwen_ocr_spark.operators.extract import figures_table
-    figs = figures_table(out_df)
-    spark = out_df.sparkSession
+    Batch runs mint fresh uuids, so without this the orphaned run would
+    undercount manifest totals FOREVER; streaming self-heals on replay
+    (same run_id, see write_output) but batch needs this startup pass.
+    Cost: one distinct over the output's run_id partition column (metadata-
+    scale, same class as the resume anti-join the north_rule itself
+    designs for) + a read-back of only the orphaned runs' directories."""
     try:
-        done = spark.read.parquet(figures_path).select("url").distinct()
-        figs = figs.join(done, on="url", how="left_anti")
+        run_ids = {
+            r["run_id"]
+            for r in spark.read.parquet(out_path).select("run_id").distinct().collect()
+        }
     except AnalysisException:
-        pass  # first write — nothing to dedup against
-    figs.write.mode("append").parquet(figures_path)
+        return 0  # no output yet — nothing to reconcile
+    try:
+        have = {
+            r["run_id"]
+            for r in spark.read.parquet(manifest_path)
+                          .select("run_id").distinct().collect()
+        }
+    except AnalysisException:
+        have = set()
+    return sum(
+        _append_manifest_rows(spark, out_path, manifest_path, rid)
+        for rid in sorted(run_ids - have)
+    )
+
+
+def write_figures(out_df: DataFrame, figures_path: str, run_id: str) -> None:
+    """Append the exploded figures side-output (analog of the reference's
+    images/{page}_fig{n}.png directory, keyed (url, page_number,
+    fig_number) — /root/reference/src/models/extracted_image.py:34-43),
+    partitioned by ``run_id`` — an O(this append) blind write that NEVER
+    reads the existing table (round 2 anti-joined against a full read-back
+    of the figures table's urls: O(all committed figures) per commit,
+    unbounded growth at 100 TB).
+
+    Exactly-once table contents move to the READ side (``read_figures``):
+    figures are written BEFORE the output commit that drives resume, so a
+    crash between the two leaves this run's figures as an orphaned run_id
+    directory — invisible to readers because its run_id never reaches the
+    manifest — and the document's re-extraction under a fresh run_id
+    provides the single visible copy.  Orphaned directories are physical
+    garbage only; a janitor can delete figure run dirs absent from the
+    manifest once they age past any in-flight run."""
+    from qwen_ocr_spark.operators.extract import figures_table
+    (
+        figures_table(out_df)
+        .withColumn("run_id", F.lit(run_id))
+        .write.mode("append").partitionBy("run_id").parquet(figures_path)
+    )
+
+
+def read_figures(spark: SparkSession, figures_path: str,
+                 manifest_path: str) -> DataFrame | None:
+    """The figures table as readers must see it: only run_ids with manifest
+    lineage (committed runs) are visible, so crashed/replayed attempts'
+    orphan directories never surface and every (url, page, fig) appears
+    exactly once.  The manifest side is tiny — the semi join broadcasts
+    and prunes figure partitions dynamically."""
+    try:
+        figs = spark.read.parquet(figures_path)
+    except AnalysisException:
+        return None
+    try:
+        committed = spark.read.parquet(manifest_path).select("run_id").distinct()
+    except AnalysisException:
+        return figs.limit(0).drop("run_id")
+    return (
+        figs.join(F.broadcast(committed), on="run_id", how="left_semi")
+        .drop("run_id")
+    )
 
 
 def committed_urls(spark: SparkSession, out_path: str) -> DataFrame | None:

@@ -71,11 +71,12 @@ def stream_extract(spark: SparkSession, input_dir: str, out_path: str,
         # idempotence vs foreachBatch replay: drop urls already committed
         todo = resume_filter(batch_df, out_path)
         out = extract_pages(todo)
+        run_id = f"stream-{token}-{batch_id}"
         if figures_path is not None:
             out = out.cache()
-            write_figures(out, figures_path)
+            write_figures(out, figures_path, run_id)
         write_output(out, out_path, manifest_path,
-                     run_id=f"stream-{token}-{batch_id}", replayable=True)
+                     run_id=run_id, replayable=True)
         if figures_path is not None:
             out.unpersist()
 

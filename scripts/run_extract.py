@@ -50,6 +50,7 @@ def main() -> None:
     from qwen_ocr_spark.operators.extract import extract_pages
     from qwen_ocr_spark.plans.session import get_spark
     from qwen_ocr_spark.sinks.manifest import (
+        reconcile_manifest,
         resume_filter,
         write_figures,
         write_output,
@@ -70,6 +71,13 @@ def main() -> None:
         spark.stop()
         return
 
+    # startup reconcile: backfill manifest lineage for any run whose crash
+    # landed between its output commit and its manifest append (otherwise a
+    # batch run's fresh uuid would orphan those rows' lineage forever)
+    backfilled = reconcile_manifest(spark, args.out, args.manifest)
+    if backfilled:
+        print(f"reconciled: backfilled lineage for {backfilled} rows")
+
     pages = spark.read.parquet(args.pages)
     todo = resume_filter(pages, args.out)
     out = extract_pages(
@@ -79,10 +87,10 @@ def main() -> None:
     if args.figures:
         out = out.cache()
         # figures go FIRST: the output commit drives resume, so a crash
-        # between the two must leave the url *uncommitted* (figures for it
-        # are replayed next run and deduped by write_figures' anti-join);
-        # the old order lost figures permanently on that crash window.
-        write_figures(out, args.figures)
+        # between the two must leave the url *uncommitted* (its figures sit
+        # in an orphaned run_id dir invisible to read_figures; the
+        # re-extraction under the next run's id provides the visible copy).
+        write_figures(out, args.figures, run_id)
     new_rows = write_output(out, args.out, args.manifest, run_id)
 
     # report from the manifest (tiny), never by rescanning the output table

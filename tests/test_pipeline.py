@@ -159,24 +159,69 @@ def test_write_manifest_and_resume(spark, pages, out, tmp_path):
     assert man.count() == man.select("run_id", "partition_id").distinct().count()
 
 
-def test_write_figures_idempotent_replay(spark, pages, out, tmp_path):
-    """Figures are written BEFORE the output commit, so a crash between the
-    two replays them — the anti-join must swallow the replay."""
-    from qwen_ocr_spark.sinks.manifest import write_figures
+def test_write_figures_run_scoped_and_crash_invisible(spark, pages, out, tmp_path):
+    """Figures appends are O(this append) — a blind run_id-partitioned write
+    that never reads the table — and exactly-once CONTENTS hold on the read
+    side: ``read_figures`` shows only runs with manifest lineage, so a
+    crashed attempt's orphan directory never surfaces and its replay under
+    a fresh committed run provides the single visible copy."""
+    from qwen_ocr_spark.sinks.manifest import read_figures, write_figures
     figs_path = str(tmp_path / "figs")
-    write_figures(out, figs_path)
-    n1 = spark.read.parquet(figs_path).count()
-    assert n1 > 0
-    write_figures(out, figs_path)  # replay of the same rows
-    assert spark.read.parquet(figs_path).count() == n1
-    # a genuinely new url still appends
+    out_path = str(tmp_path / "out")
+    man_path = str(tmp_path / "manifest")
+
+    # committed run: figures first, then output+manifest (CLI ordering)
+    write_figures(out, figs_path, "run1")
+    write_output(out, out_path, man_path, "run1")
+    vis1 = read_figures(spark, figs_path, man_path)
+    n1 = vis1.count()
+    assert n1 > 0 and "run_id" not in vis1.columns
+
+    # crashed attempt: figures land under run2 but run2 never reaches the
+    # manifest (job died before its output commit) — invisible to readers
+    write_figures(out, figs_path, "run2")
+    assert spark.read.parquet(figs_path).count() > n1  # physically appended
+    assert read_figures(spark, figs_path, man_path).count() == n1
+
+    # the replayed extraction commits under run3: each (url, page, fig)
+    # visible exactly once, from a committed run only
     extra = synth_pages(spark, 10, seed=42, partitions=2, start=N_DOCS)
-    write_figures(extract_pages(extra, partitions=2), figs_path)
-    n2 = spark.read.parquet(figs_path).count()
-    assert n2 >= n1
-    figs = spark.read.parquet(figs_path)
-    keys = figs.select("url", "page_number", "fig_number")
+    out3 = extract_pages(extra, partitions=2)
+    write_figures(out3, figs_path, "run3")
+    write_output(out3, out_path, man_path, "run3")
+    vis = read_figures(spark, figs_path, man_path)
+    keys = vis.select("url", "page_number", "fig_number")
     assert keys.count() == keys.distinct().count()
+    assert vis.count() >= n1
+
+    # empty figures dir: readers get None, not an exception
+    assert read_figures(spark, str(tmp_path / "nope"), man_path) is None
+
+
+def test_reconcile_manifest_backfills_crash_window(spark, pages, tmp_path):
+    """A crash between output commit and manifest append must not undercount
+    manifest totals forever: startup reconciliation backfills the orphaned
+    run's lineage from the run-dir read-back (ADVICE r2)."""
+    import shutil
+    from qwen_ocr_spark.sinks.manifest import reconcile_manifest
+    out_path = str(tmp_path / "out")
+    man_path = str(tmp_path / "manifest")
+    half = pages.filter(F.crc32(F.col("url")) % 2 == 0)
+    rest = pages.filter(F.crc32(F.col("url")) % 2 != 0)
+    n1 = write_output(extract_pages(half, partitions=2), out_path, man_path, "runA")
+    n2 = write_output(extract_pages(rest, partitions=2), out_path, man_path, "runB")
+    baseline = {(r["run_id"], r["partition_id"]): (r["row_count"], r["content_digest"])
+                for r in spark.read.parquet(man_path).collect()}
+    # simulate the crash window: output committed, manifest rows lost
+    shutil.rmtree(man_path)
+    assert reconcile_manifest(spark, out_path, man_path) == n1 + n2
+    rebuilt = {(r["run_id"], r["partition_id"]): (r["row_count"], r["content_digest"])
+               for r in spark.read.parquet(man_path).collect()}
+    assert rebuilt == baseline  # same lineage, digest-for-digest
+    # idempotent: nothing left to backfill
+    assert reconcile_manifest(spark, out_path, man_path) == 0
+    # no output yet: a fresh pipeline reconciles to zero, no exception
+    assert reconcile_manifest(spark, str(tmp_path / "missing"), man_path) == 0
 
 
 def test_gen_page_pure_function():
