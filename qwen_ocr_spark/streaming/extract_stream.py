@@ -34,6 +34,31 @@ from qwen_ocr_spark.sinks.manifest import (
 from qwen_ocr_spark.sources.pages import PAGES_SCHEMA
 
 
+def _checkpoint_token(spark: SparkSession, checkpoint: str) -> str:
+    """Read-or-mint the per-checkpoint run token THROUGH the checkpoint's
+    Hadoop FileSystem, so the token shares the checkpoint's lifecycle
+    exactly: wiping/replacing the checkpoint (local or DFS) wipes the token
+    with it and the next start mints a fresh lineage scope."""
+    import uuid
+
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(checkpoint, "run_token")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        stream = fs.open(path)
+        try:
+            return stream.readUTF()
+        finally:
+            stream.close()
+    token = uuid.uuid4().hex[:8]
+    out = fs.create(path, True)
+    try:
+        out.writeUTF(token)
+    finally:
+        out.close()
+    return token
+
+
 def stream_extract(spark: SparkSession, input_dir: str, out_path: str,
                    manifest_path: str, checkpoint: str,
                    available_now: bool = True, figures_path: str | None = None):
@@ -56,16 +81,11 @@ def stream_extract(spark: SparkSession, input_dir: str, out_path: str,
     # wiped/replaced checkpoint restarts batch ids at 0, and a bare
     # "stream-{batch_id}" would collide with the previous lineage's run_id,
     # silently skipping manifest lineage for genuinely new rows.  A token
-    # minted once per checkpoint directory gives exactly that scope.
-    import pathlib
-    import uuid
-    tok_file = pathlib.Path(checkpoint) / "run_token"
-    tok_file.parent.mkdir(parents=True, exist_ok=True)
-    if tok_file.exists():
-        token = tok_file.read_text().strip()
-    else:
-        token = uuid.uuid4().hex[:8]
-        tok_file.write_text(token)
+    # minted once per checkpoint directory gives exactly that scope — and
+    # it must live IN the checkpoint's own filesystem (hdfs://, s3a://,
+    # file://), not on driver-local disk, or a wiped DFS checkpoint would
+    # silently reuse a stale local token (ADVICE r2).
+    token = _checkpoint_token(spark, checkpoint)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # idempotence vs foreachBatch replay: drop urls already committed
@@ -99,23 +119,37 @@ def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800):
     count); a new event more than ``gap_sec`` after the last CLOSES the
     open session (emitted) and starts a new one.
 
-    Emission is closed-sessions-only ("append" semantics): the trailing
-    open session stays in state until a later batch closes it (production
-    adds an event-time timeout to flush idle users; a finite test drain
-    checks the closed ones against the batch oracle).  State per key is
-    three scalars — O(users) memory, independent of event count, the same
-    bound the batch sessionizer's window shuffle has per partition.
-    Assumes per-key event-time order across micro-batches (enforce with a
-    watermark + sorted source in production; the batch twin
-    ``q_events_sessionize`` handles unordered data exactly).
+    Idle users flush via **event-time timeout** (round 3 — NoTimeout leaked
+    O(all-users-ever) state): every update arms a timeout at
+    ``last_ts + gap_sec``; once the watermark (same ``gap_sec`` delay)
+    passes it, the open session is emitted and the key's state REMOVED, so
+    state stays O(concurrently-active users).  The watermark also bounds
+    event-time disorder across micro-batches: events later than the armed
+    deadline would have timed the session out anyway, so watermark-late
+    data starts a new session exactly as the gap rule dictates.  State per
+    key is three scalars — the same bound the batch sessionizer's window
+    shuffle has per partition; the batch twin ``q_events_sessionize``
+    handles unordered data exactly.
     """
     import datetime as dt
     from typing import Any, Iterator, Tuple
 
     import pandas as pd
 
+    def fmt(sec: float) -> str:
+        return dt.datetime.fromtimestamp(
+            sec, dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
     def fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        cols = ["user_id", "session_start", "session_end", "n_events"]
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: the open session is over
+            start_sec, last_sec, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, fmt(start_sec), fmt(last_sec), n)],
+                               columns=cols)
+            return
         if state.exists:
             start_sec, last_sec, n = state.get
         else:
@@ -126,10 +160,6 @@ def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800):
                       pd.to_datetime(pdf["ts"]).astype("int64") / 1e9)
         ts.sort()
         closed = []
-
-        def fmt(sec: float) -> str:
-            return dt.datetime.utcfromtimestamp(sec).strftime("%Y-%m-%d %H:%M:%S")
-
         for sec in ts:
             if start_sec is None:
                 start_sec, last_sec, n = sec, sec, 1
@@ -139,15 +169,23 @@ def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800):
             else:
                 last_sec, n = sec, n + 1
         state.update((start_sec, last_sec, n))
+        # arm the idle flush: fire when event time passes the gap deadline
+        # (must exceed the current watermark — a deadline already behind it
+        # fires at the very next no-data batch)
+        deadline_ms = int((last_sec + gap_sec) * 1000)
+        state.setTimeoutTimestamp(max(deadline_ms,
+                                      state.getCurrentWatermarkMs() + 1))
         if closed:
-            yield pd.DataFrame(closed, columns=[
-                "user_id", "session_start", "session_end", "n_events"])
+            yield pd.DataFrame(closed, columns=cols)
 
     return (
-        events_stream.groupBy("user_id")
+        events_stream
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", f"{gap_sec} seconds")
+        .groupBy("user_id")
         .applyInPandasWithState(
             fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA,
-            "append", "NoTimeout",
+            "append", "EventTimeTimeout",
         )
     )
 

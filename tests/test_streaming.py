@@ -135,5 +135,30 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     drain()
 
     got = [tuple(r) for r in spark.read.parquet(outdir).collect()]
-    # only user 1's FIRST session is closed; both open sessions stay in state
-    assert got == [(1, "2026-01-01 00:00:00", "2026-01-01 00:00:10", 2)]
+    # user 1's FIRST session closed by the gap rule; user 2's lone-event
+    # session (idle since t0, deadline t0+1800) flushed by the EVENT-TIME
+    # TIMEOUT once chunk 2 pushed the watermark to t0+2010-1800 > deadline?
+    # no — watermark t0+210 < t0+1800, so user 2 is still open here
+    assert sorted(got) == [(1, "2026-01-01 00:00:00", "2026-01-01 00:00:10", 2)]
+
+    # chunk 3: a far-future event from another user pushes the watermark
+    # past every armed deadline — BOTH idle open sessions (user 1's second,
+    # user 2's lone event) flush via EventTimeTimeout and their state is
+    # removed
+    write_chunk([(6, t0 + pd.Timedelta(seconds=100000), 3)])
+    drain()
+    got = sorted(tuple(r) for r in spark.read.parquet(outdir).collect())
+    assert got == [
+        (1, "2026-01-01 00:00:00", "2026-01-01 00:00:10", 2),
+        (1, "2026-01-01 00:33:20", "2026-01-01 00:33:30", 2),
+        (2, "2026-01-01 00:00:00", "2026-01-01 00:00:00", 1),
+    ]
+
+    # state is actually reclaimed: another watermark push produces NO
+    # re-emission of the flushed users (their keys are gone, only user 3's
+    # open session remains in state)
+    write_chunk([(7, t0 + pd.Timedelta(seconds=200000), 4)])
+    drain()
+    got2 = sorted(tuple(r) for r in spark.read.parquet(outdir).collect())
+    assert got2 == got + [
+        (3, "2026-01-02 03:46:40", "2026-01-02 03:46:40", 1)]
