@@ -448,7 +448,8 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: nearest-centroid cells + nprobe probing + exact re-rank —
-    exactly oracle-able because centroids are a deterministic id prefix."""
+    exactly oracle-able because centroids are a deterministic md5-ordered
+    hash sample of the corpus (similarity.ivf_centroids)."""
     return similarity.ivf_topk(_emb_double(spark, sf_dir), [0, 1, 2, 3, 4],
                                k=5, n_cells=16, nprobe=2)
 
@@ -1132,7 +1133,8 @@ FROM r WHERE rk <= 5
 
     q["ann_ivf_topk"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS (SELECT vec_id AS cell_id, v AS cvec FROM e WHERE vec_id < 16),
+cent AS (SELECT vec_id AS cell_id, v AS cvec FROM e
+         ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
 scored AS (
   SELECT e.vec_id, e.v, cent.cell_id,
          CAST(floor(({_cos_sql('e.v', 'cent.cvec')}) * 1e6) AS BIGINT) AS cscore_e6

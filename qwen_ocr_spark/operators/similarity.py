@@ -267,32 +267,61 @@ def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
+IVF_SEED = "ivf"
+
+
+def ivf_centroids(emb: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic hash-sampled centroids: the ``n_cells`` vectors with
+    the smallest md5('ivf|' || id) — a content-addressed uniform sample of
+    the corpus (the ``sampling.hash_sample`` trick), engine-reproducible so
+    the DuckDB oracle derives the identical set.  Unlike round 2's
+    id-prefix stand-in (ids 0..n_cells-1), the sample has no correlation
+    with insertion order, which is what a seeded k-means init (k-means++
+    over a hash sample) would start from at scale.  Distributed top-k
+    (orderBy + limit), never a global sort."""
+    h = F.md5(F.concat(F.lit(f"{IVF_SEED}|"), F.col(id_col).cast("string")))
+    return (
+        emb.select(F.col(id_col).alias("cell_id"),
+                   F.col(vec_col).alias("cvec"), h.alias("_h"))
+        .orderBy("_h", "cell_id")
+        .limit(n_cells)
+        .drop("_h")
+    )
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_cells: int = 16, nprobe: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dims: int = 64) -> DataFrame:
     """IVF (inverted-file) ANN: the other classic scale path beside LSH.
 
     Coarse-quantize every vector to its nearest centroid cell (centroids =
-    the vectors with id < n_cells — a deterministic stand-in for a seeded
-    k-means sample, which keeps the whole operator exactly oracle-able);
+    ``ivf_centroids``' deterministic hash sample, exactly oracle-able);
     each query probes its ``nprobe`` nearest cells and exact-re-ranks only
     the vectors assigned there.  Cost model: assignment is one broadcast
     join of N rows against n_cells centroids (N*K scores, map-side only);
     a query then scans ~ nprobe/n_cells of the corpus.  Scale n_cells ~
     sqrt(N) and the probed fraction shrinks as the corpus grows — the
     standard IVF trade.  Ties (equal scores) break on cell id, so
-    assignment is total and engine-reproducible."""
+    assignment is total and engine-reproducible.  All scoring runs through
+    the unrolled codegen'd product-sum (bit-identical to the sequential
+    fold the oracle computes), not interpreted array lambdas."""
     cent = F.broadcast(
-        emb.where(F.col(id_col) < n_cells)
-           .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
+        ivf_centroids(emb, n_cells, id_col, vec_col).select(
+            "cell_id",
+            *[F.coalesce(F.get(F.col("cvec"), d), F.lit(0.0)).alias(f"_c{d}")
+              for d in range(dims)])
     )
+    base = emb.select(
+        F.col(id_col),
+        *[F.coalesce(F.get(F.col(vec_col), d), F.lit(0.0)).alias(f"_v{d}")
+          for d in range(dims)])
     scored = (
-        emb.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(cent)
+        base.crossJoin(cent)
         .select(
-            id_col, vec_col, "cell_id",
-            F.floor(cosine(F.col(vec_col), F.col("cvec")) * 1e6)
-             .cast("bigint").alias("cscore_e6"),
+            id_col, "cell_id", *[f"_v{d}" for d in range(dims)],
+            _unrolled_cosine_e6("_v", "_c", dims).alias("cscore_e6"),
         )
         .where(F.col("cscore_e6").isNotNull())
     )
@@ -300,20 +329,17 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         F.desc("cscore_e6"), F.asc("cell_id"))
     ranked = scored.withColumn("crank", F.row_number().over(w_assign))
     assign = ranked.where(F.col("crank") == 1).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
-        "cell_id")
+        F.col(id_col).alias("neighbor_id"), "cell_id",
+        *[F.col(f"_v{d}").alias(f"_n{d}") for d in range(dims)])
     qcells = ranked.where(F.col(id_col).isin(query_ids)
                           & (F.col("crank") <= nprobe)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        "cell_id")
+        F.col(id_col).alias("query_id"), "cell_id",
+        *[F.col(f"_v{d}").alias(f"_q{d}") for d in range(dims)])
     joined = (
         F.broadcast(qcells).join(assign, on="cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "neighbor_id",
-            F.floor(cosine(F.col("qv"), F.col("nv")) * 1e6)
-             .cast("bigint").alias("score_e6"),
-        )
+        .select("query_id", "neighbor_id",
+                _unrolled_cosine_e6("_q", "_n", dims).alias("score_e6"))
         .where(F.col("score_e6").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"),
