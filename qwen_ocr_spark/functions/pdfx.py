@@ -11,15 +11,20 @@ rank), lists (marker prefixes), tables (column-aligned runs), and figures
 
 pypdf/pdfminer are not available in this environment, so this module also
 defines the **generator** ``make_pdf`` for the well-formed subset the
-parser accepts (PDF 1.4, Type1 Helvetica, absolute ``Td`` positioning
-inside each ``BT``/``ET``, ``Tj`` strings or ``TJ`` kerned arrays, image
-XObjects placed via ``q w 0 0 h x y cm /ImN Do Q``, one content stream or
-a ``/Contents`` array per page, streams raw or **FlateDecode-compressed**
-— zlib is stdlib, and essentially every real-crawl PDF compresses its
-streams, so the parser inflates any stream whose dict carries
-``/Filter /FlateDecode``).  All fixtures and synthetic corpus PDFs are
-produced by ``make_pdf``; the parser is deliberately strict to that subset
-and returns empty pages for anything else (error-channel semantics — a
+parser accepts (PDF 1.4/1.5, Type1 Helvetica, absolute ``Td`` positioning
+inside each ``BT``/``ET``, ``Tj`` strings or ``TJ`` kerned arrays with
+literal ``(...)`` or **hex ``<...>``** operands, image XObjects placed via
+``q w 0 0 h x y cm /ImN Do Q``, one content stream or a ``/Contents``
+array per page, streams raw or **FlateDecode-compressed**, ``/Length``
+direct or an **indirect reference**, cross-references as a classic table
+or a PDF 1.5 **xref stream**, non-stream objects loose or packed in
+**object streams** (``/Type /ObjStm``)).  Object discovery is scan-based
+("N 0 obj" + ObjStm unpacking), so classic, 1.5, and broken-xref files —
+i.e. most crawl PDFs' structural variety — all parse identically.  All
+fixtures and synthetic corpus PDFs are produced by ``make_pdf``; the
+parser stays deliberately strict beyond that subset (notably: one font,
+no ``Tm`` text matrices, no CID/Unicode encodings, no page rotation) and
+returns empty pages for anything else (error-channel semantics — a
 malformed document never fails the job, mirroring
 /root/reference/src/models/document_job.py:229-239).
 
@@ -77,18 +82,41 @@ def _esc(s: str) -> str:
 
 
 def make_pdf(pages: list[PageSpec], compress: bool = False,
-             tj_arrays: bool = False) -> bytes:
-    """Serialize PageSpecs into a well-formed PDF 1.4 file.
+             tj_arrays: bool = False, hex_strings: bool = False,
+             xref_stream: bool = False, object_streams: bool = False) -> bytes:
+    """Serialize PageSpecs into a well-formed PDF file.
 
-    ``compress`` FlateDecode-encodes every stream (content + image) the way
-    real-crawl PDFs do; ``tj_arrays`` emits text as kerned ``TJ`` arrays
-    (``[(foo) -18 (bar)] TJ``) instead of plain ``Tj`` strings.  Either way
-    the parsed result is identical — that invariance is golden-tested."""
+    Encoding knobs, each matching a real-crawl prevalence axis and each
+    parse-invariant (golden-tested):
+
+    * ``compress`` — FlateDecode every stream (content + image), the way
+      essentially all real PDFs do.
+    * ``tj_arrays`` — text as kerned ``TJ`` arrays (``[(foo) -18 (bar)]
+      TJ``) instead of plain ``Tj`` strings.
+    * ``hex_strings`` — string operands as hex (``<48656C6C6F>``), common
+      in generated/CID PDFs.
+    * ``xref_stream`` — PDF 1.5: the cross-reference table is a binary
+      ``/Type /XRef`` stream object (``/W [1 4 2]`` entries), not the
+      classic ``xref`` table + ``trailer``.  Most post-2005 PDFs use this.
+    * ``object_streams`` — PDF 1.5 (implies ``xref_stream``): every
+      non-stream object (catalog, pages node, page dicts, font) is packed
+      into one ``/Type /ObjStm`` stream, referenced by type-2 xref
+      entries.
+    """
+    if object_streams:
+        xref_stream = True
     objs: list[bytes] = []   # 1-indexed by position+1
+    is_stream: list[bool] = []
 
-    def add(body: bytes) -> int:
+    def add(body: bytes, stream: bool = False) -> int:
         objs.append(body)
+        is_stream.append(stream)
         return len(objs)
+
+    def pdf_str(s: str) -> str:
+        if hex_strings:
+            return "<" + s.encode("latin-1", "replace").hex().upper() + ">"
+        return f"({_esc(s)})"
 
     def stream_obj(dict_prefix: str, payload: bytes) -> bytes:
         filt = ""
@@ -99,6 +127,9 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
             f"<< {dict_prefix}{filt} /Length {len(payload)} >>\nstream\n".encode()
             + payload + b"\nendstream"
         )
+
+    def add_stream(dict_prefix: str, payload: bytes) -> int:
+        return add(stream_obj(dict_prefix, payload), stream=True)
 
     font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
@@ -115,11 +146,11 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
         for i, im in enumerate(spec.images, start=1):
             pixel_data = b"\x80" * 64
             etype = im.element_type if im.element_type in config.ELEMENT_TYPES else "other"
-            n = add(stream_obj(
+            n = add_stream(
                 "/Type /XObject /Subtype /Image /Width 8 /Height 8 "
                 "/ColorSpace /DeviceGray /BitsPerComponent 8 "
                 f"/ElementType /{etype}", pixel_data,
-            ))
+            )
             name = f"Im{i}"
             img_names.append((name, n))
             # top-left spec → bottom-left placement
@@ -135,14 +166,14 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
                 if mid == -1:
                     mid = t.text.rfind(" ")
                 a, b = t.text[:mid + 1], t.text[mid + 1:]
-                shown = f"[({_esc(a)}) -18 ({_esc(b)})] TJ"
+                shown = f"[{pdf_str(a)} -18 {pdf_str(b)}] TJ"
             else:
-                shown = f"({_esc(t.text)}) Tj"
+                shown = f"{pdf_str(t.text)} Tj"
             content_lines.append(
                 f"BT /F1 {t.size:g} Tf {t.x:.2f} {y_base:.2f} Td {shown} ET"
             )
         content = ("\n".join(content_lines) + "\n").encode()
-        cnum = add(stream_obj("", content))
+        cnum = add_stream("", content)
         xobj = ""
         if img_names:
             xobj = " /XObject << " + " ".join(f"/{n} {num} 0 R" for n, num in img_names) + " >>"
@@ -156,21 +187,81 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
     )
     catalog_num = add(f"<< /Type /Catalog /Pages {pages_node_num} 0 R >>".encode())
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, body in enumerate(objs, start=1):
-        body = body.replace(b"{PAGES}", str(pages_node_num).encode())
-        offsets.append(len(out))
+    bodies = [b.replace(b"{PAGES}", str(pages_node_num).encode()) for b in objs]
+
+    if not xref_stream:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = [0]
+        for i, body in enumerate(bodies, start=1):
+            offsets.append(len(out))
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += f"xref\n0 {len(objs) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {len(objs) + 1} /Root {catalog_num} 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+    # PDF 1.5 layout: optional ObjStm packing + binary cross-reference stream
+    out = bytearray(b"%PDF-1.5\n")
+    pack_nums = [i + 1 for i, s in enumerate(is_stream)
+                 if not s] if object_streams else []
+    packed = {n: idx for idx, n in enumerate(pack_nums)}
+    offsets_m: dict[int, int] = {}
+    for i, body in enumerate(bodies, start=1):
+        if i in packed:
+            continue
+        offsets_m[i] = len(out)
         out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    objstm_num = 0
+    if pack_nums:
+        pairs, parts, cur = [], [], 0
+        for n in pack_nums:
+            b_ = bodies[n - 1]
+            pairs.append(f"{n} {cur}")
+            parts.append(b_ + b"\n")
+            cur += len(b_) + 1
+        hdr = (" ".join(pairs) + "\n").encode()
+        payload = hdr + b"".join(parts)
+        filt = ""
+        if compress:
+            payload = zlib.compress(payload)
+            filt = " /Filter /FlateDecode"
+        objstm_num = len(objs) + 1
+        offsets_m[objstm_num] = len(out)
+        out += (
+            f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(pack_nums)} "
+            f"/First {len(hdr)}{filt} /Length {len(payload)} >>\nstream\n"
+        ).encode() + payload + b"\nendstream\nendobj\n"
+    xref_num = len(objs) + (2 if pack_nums else 1)
+    size = xref_num + 1
     xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
+
+    def entry(t: int, f2: int, f3: int) -> bytes:  # /W [1 4 2]
+        return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+    rows = bytearray(entry(0, 0, 65535))
+    for i in range(1, size):
+        if i in packed:
+            rows += entry(2, objstm_num, packed[i])
+        elif i == xref_num:
+            rows += entry(1, xref_at, 0)
+        else:
+            rows += entry(1, offsets_m[i], 0)
+    payload = bytes(rows)
+    filt = ""
+    if compress:
+        payload = zlib.compress(payload)
+        filt = " /Filter /FlateDecode"
     out += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root {catalog_num} 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Root {catalog_num} 0 R{filt} /Length {len(payload)} >>\nstream\n"
+    ).encode() + payload + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
 
 
@@ -199,38 +290,57 @@ class PageRuns:
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# direct length only — "/Length 5 0 R" is an indirect reference, resolved
+# separately against the object table
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[[^\]]*?)?/FlateDecode")
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm")
 _TF_RE = re.compile(r"/F\d+\s+([\d.]+)\s+Tf")
 _TD_RE = re.compile(r"([-\d.]+)\s+([-\d.]+)\s+Td")
-# one alternation so Tj strings and TJ kerned arrays are recovered in
-# content order; the TJ body admits escapes, complete (...) strings (which
-# may contain ']'), and bare non-']' chars (the kern numbers)
+# one alternation so Tj strings (literal or hex) and TJ kerned arrays are
+# recovered in content order; the TJ body admits escapes, complete (...)
+# strings (which may contain ']'), hex strings, and bare non-']' chars
+# (the kern numbers)
 _TEXT_OP_RE = re.compile(
     r"\(((?:\\.|[^\\()])*)\)\s*Tj"
-    r"|\[((?:\\.|\((?:\\.|[^\\()])*\)|[^\]\\(])*)\]\s*TJ",
+    r"|<([0-9A-Fa-f\s]*)>\s*Tj"
+    r"|\[((?:\\.|\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|[^\]\\(<])*)\]\s*TJ",
     re.S,
 )
-_TJ_STR_RE = re.compile(r"\(((?:\\.|[^\\()])*)\)", re.S)
+_TJ_ELEM_RE = re.compile(r"\(((?:\\.|[^\\()])*)\)|<([0-9A-Fa-f\s]*)>", re.S)
 _CM_DO_RE = re.compile(
     r"q\s+([-\d.]+)\s+[-\d.]+\s+[-\d.]+\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+cm\s*/(\w+)\s+Do\s+Q"
 )
 _BT_RE = re.compile(r"BT(.*?)ET", re.S)
 
 
-def _stream_bytes(obj: bytes) -> bytes:
+def _stream_bytes(obj: bytes, objs: dict[int, bytes] | None = None) -> bytes:
     """Stream payload of one object body, FlateDecode-inflated when tagged.
 
-    Slices by the literal /Length when present (exact even when compressed
-    bytes happen to contain 'endstream'); undecodable streams return b''
-    (error-channel semantics, one bad stream never fails the document)."""
+    Slices by the /Length when present — direct, or (given ``objs``) an
+    indirect ``N 0 R`` reference resolved against the object table, which
+    most real-crawl writers emit because the length isn't known until the
+    stream is written.  Exact even when compressed bytes happen to contain
+    'endstream'; undecodable streams return b'' (error-channel semantics,
+    one bad stream never fails the document)."""
     m = _STREAM_START_RE.search(obj)
     if not m:
         return b""
     head, start = obj[:m.start()], m.end()
+    length: int | None = None
     lm = _LENGTH_RE.search(head)
     if lm:
-        raw = obj[start:start + int(lm.group(1))]
+        length = int(lm.group(1))
+    elif objs is not None:
+        rm = _LENGTH_REF_RE.search(head)
+        if rm:
+            ref = objs.get(int(rm.group(1)), b"")
+            nm = re.match(rb"\s*(\d+)\s*$", ref) or re.match(rb"\s*(\d+)", ref)
+            if nm:
+                length = int(nm.group(1))
+    if length is not None:
+        raw = obj[start:start + length]
     else:
         end = obj.find(b"endstream", start)
         raw = obj[start:end].rstrip(b"\r\n") if end != -1 else b""
@@ -242,15 +352,62 @@ def _stream_bytes(obj: bytes) -> bytes:
     return raw
 
 
+def _unpack_object_streams(objs: dict[int, bytes]) -> None:
+    """Register objects packed inside /Type /ObjStm streams (PDF 1.5).
+
+    The ObjStm layout is '<N pairs of "objnum offset">\\n<bodies>' with
+    /First pointing at the first body byte.  Top-level definitions win on
+    number collision (setdefault) — for the incremental-update case where a
+    later append redefines a packed object."""
+    for body in list(objs.values()):
+        sm = _STREAM_START_RE.search(body)
+        if not sm or not _OBJSTM_RE.search(body[:sm.start()]):
+            continue
+        fm = re.search(rb"/First\s+(\d+)", body[:sm.start()])
+        nm = re.search(rb"/N\s+(\d+)", body[:sm.start()])
+        data = _stream_bytes(body, objs)
+        if not (fm and nm and data):
+            continue
+        first, n = int(fm.group(1)), int(nm.group(1))
+        try:
+            header = data[:first].split()
+            pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                     for i in range(min(n, len(header) // 2))]
+        except ValueError:
+            continue  # malformed header: skip this ObjStm, not the document
+        for i, (onum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+            objs.setdefault(onum, data[first + off:first + end])
+
+
+def _hex_str(h: str) -> str:
+    """<hex> string operand → text (whitespace allowed; odd length pads a
+    trailing 0 per spec; single-byte latin-1 charmap, our font subset)."""
+    h = re.sub(r"\s+", "", h)
+    if len(h) % 2:
+        h += "0"
+    try:
+        return bytes.fromhex(h).decode("latin-1")
+    except ValueError:
+        return ""
+
+
 def _segment_text(seg: str) -> str:
     """Concatenate shown text of Tj and TJ operators in content order
-    (TJ kern adjustments are layout-only and dropped)."""
+    (TJ kern adjustments are layout-only and dropped); string operands may
+    be literal ``(...)`` or hex ``<...>`` in either operator."""
     parts: list[str] = []
     for m in _TEXT_OP_RE.finditer(seg):
         if m.group(1) is not None:
             parts.append(_unescape_pdf_string(m.group(1)))
+        elif m.group(2) is not None:
+            parts.append(_hex_str(m.group(2)))
         else:
-            parts.extend(_unescape_pdf_string(s) for s in _TJ_STR_RE.findall(m.group(2)))
+            for e in _TJ_ELEM_RE.finditer(m.group(3)):
+                if e.group(1) is not None:
+                    parts.append(_unescape_pdf_string(e.group(1)))
+                else:
+                    parts.append(_hex_str(e.group(2)))
     return "".join(parts)
 
 _PDF_UNESCAPE = {
@@ -286,6 +443,11 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
     objs: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(data):
         objs[int(m.group(1))] = m.group(2)
+    # object discovery is SCAN-based (every "N 0 obj"), deliberately
+    # xref-agnostic: classic tables, PDF 1.5 xref streams, and broken/
+    # truncated xrefs (common in crawls) all parse the same way.  Objects
+    # packed in /ObjStm streams are unpacked into the same table here.
+    _unpack_object_streams(objs)
 
     # locate the Pages node for /Kids ordering
     kids_order: list[int] = []
@@ -318,7 +480,7 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
             pages.append(PageRuns(idx, pw, ph, [], []))
             continue
         content = "\n".join(
-            _stream_bytes(objs.get(n, b"")).decode("latin-1") for n in cnums
+            _stream_bytes(objs.get(n, b""), objs).decode("latin-1") for n in cnums
         )
 
         # XObject name → object num map for element_type lookup
@@ -359,7 +521,7 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
             em = re.search(rb"/ElementType\s*/(\w+)", xobj)
             if em and em.group(1).decode() in config.ELEMENT_TYPES:
                 etype = em.group(1).decode()
-            raw = _stream_bytes(xobj)
+            raw = _stream_bytes(xobj, objs)
             # format-tag the payload honestly: these are decoded raster
             # samples, NOT png (VERDICT r1 "what's missing" #3)
             wm = re.search(rb"/Width\s+(\d+)", xobj)

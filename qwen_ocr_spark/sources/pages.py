@@ -164,9 +164,13 @@ def _pdf_doc(r: random.Random, doc_id: int, max_pages: int = 14) -> tuple[bytes,
             y += 30
         pages.append(PageSpec(texts=texts, images=images))
     # exercise the real-world encodings: most crawl PDFs FlateDecode their
-    # streams, many emit TJ kerned arrays — extraction is invariant to both
+    # streams, many emit TJ kerned arrays, hex string operands, PDF 1.5
+    # xref streams, and object-stream packing — extraction is invariant to
+    # all five axes (golden-tested)
     return (
-        make_pdf(pages, compress=doc_id % 2 == 0, tj_arrays=doc_id % 3 == 0),
+        make_pdf(pages, compress=doc_id % 2 == 0, tj_arrays=doc_id % 3 == 0,
+                 hex_strings=doc_id % 5 == 0, xref_stream=doc_id % 11 == 0,
+                 object_streams=doc_id % 7 == 0),
         " ".join(all_text),
     )
 
@@ -266,9 +270,12 @@ def _bridge_pdf(doc_id: int, text: str) -> bytes:
             line = (line + " " + w).strip()
     if line:
         pages[-1].texts.append(TextSpec(72, y, 12, line))
-    # doc_id % 14 == 0 → FlateDecode, % 21 == 0 → TJ arrays: the driver's
-    # extract_docs oracle therefore exercises compressed and kerned PDFs
-    return make_pdf(pages, compress=doc_id % 14 == 0, tj_arrays=doc_id % 21 == 0)
+    # deterministic encoding mix: the driver's extract_docs oracle therefore
+    # exercises compressed, kerned, hex-string, xref-stream, and
+    # object-stream PDFs through the FULL pipeline
+    return make_pdf(pages, compress=doc_id % 14 == 0, tj_arrays=doc_id % 21 == 0,
+                    hex_strings=doc_id % 15 == 0, xref_stream=doc_id % 33 == 0,
+                    object_streams=doc_id % 22 == 0)
 
 
 def _bridge_fig_attrs(doc_id: int) -> tuple[tuple[int, int, int, int], str, str]:

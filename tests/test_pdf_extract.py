@@ -185,8 +185,13 @@ def test_flate_and_tj_invariance():
         images=[ImageSpec(90, 160, 380, 290, "chart")],
     )]
     base = extract_pdf(make_pdf(spec))
-    for kw in ({"compress": True}, {"tj_arrays": True},
-               {"compress": True, "tj_arrays": True}):
+    # every combination of the five real-crawl encoding axes parses to the
+    # byte-identical document: FlateDecode, TJ kerned arrays, hex string
+    # operands, PDF 1.5 xref streams, and object streams
+    import itertools
+    for compress, tj, hexs, xs, objstm in itertools.product([False, True], repeat=5):
+        kw = dict(compress=compress, tj_arrays=tj, hex_strings=hexs,
+                  xref_stream=xs, object_streams=objstm)
         other = extract_pdf(make_pdf(spec, **kw))
         assert other.extracted_text == base.extracted_text, kw
         assert other.markdown == base.markdown, kw
@@ -207,6 +212,51 @@ def test_corrupt_flate_stream_is_error_channel():
     pdf[i:i + 4] = b"\x00\x00\x00\x00"  # corrupt the zlib header
     r = extract_pdf(bytes(pdf))
     assert r.markdown == ""  # empty doc, never an exception
+
+
+def test_pdf15_structure_is_real():
+    """The 1.5 variants aren't just parseable by THIS parser: the file
+    actually carries an xref stream / object stream (no classic 'xref'
+    table), so external tooling sees a structurally honest PDF 1.5."""
+    spec = [PageSpec(texts=[TextSpec(72, 100, 12, "alpha beta gamma")])]
+    pdf = make_pdf(spec, object_streams=True, compress=True)
+    assert pdf.startswith(b"%PDF-1.5")
+    assert b"\nxref\n" not in pdf and b"trailer" not in pdf
+    assert b"/Type /XRef" in pdf and b"/Type /ObjStm" in pdf
+    assert b"/Type /Catalog" not in pdf  # catalog packed inside the ObjStm
+    # startxref points exactly at the XRef stream object
+    import re as _re
+    at = int(_re.search(rb"startxref\n(\d+)\n%%EOF", pdf).group(1))
+    assert _re.match(rb"\d+ 0 obj\n<< /Type /XRef", pdf[at:at + 40])
+    assert parse_pdf(pdf)[0].runs[0].text == "alpha beta gamma"
+
+
+def test_indirect_length_reference():
+    """/Length as an indirect 'N 0 R' reference (what most real writers
+    emit) resolves against the object table."""
+    base = make_pdf([PageSpec(texts=[TextSpec(72, 100, 12, "alpha beta gamma")])])
+    import re as _re
+    m = _re.search(rb"(\d+) 0 obj\n<<  /Length (\d+) >>", base)
+    assert m, "content stream object not found"
+    next_num = max(int(n) for n in _re.findall(rb"(\d+) 0 obj", base)) + 1
+    patched = base.replace(
+        b"<<  /Length " + m.group(2) + b" >>",
+        b"<<  /Length " + str(next_num).encode() + b" 0 R >>", 1)
+    # append the length object after the last endobj (scan-based discovery
+    # doesn't need the xref to be consistent)
+    insert_at = patched.rfind(b"endobj\n") + len(b"endobj\n")
+    patched = (patched[:insert_at]
+               + f"{next_num} 0 obj\n{int(m.group(2))}\nendobj\n".encode()
+               + patched[insert_at:])
+    assert parse_pdf(patched)[0].runs[0].text == "alpha beta gamma"
+
+
+def test_hex_string_oddities():
+    """Whitespace inside hex strings and an odd digit count (spec: pad a
+    trailing zero) both decode."""
+    from qwen_ocr_spark.functions.pdfx import _hex_str
+    assert _hex_str("48 65 6C\n6C 6F") == "Hello"
+    assert _hex_str("486") == "H`"  # odd length pads to 0x48 0x60
 
 
 def test_contents_array_concatenation():
