@@ -6,8 +6,11 @@ the multimodal operators decode them FOR REAL instead of stubbing:
 
 * PNG  — 8-bit depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA), all five
          scanline filters, non-interlaced (the overwhelming majority of
-         crawl PNGs; Adam7 + 16-bit raise ``ValueError`` into the row
-         error channel).
+         crawl PNGs; Adam7 + 16-bit raise ``UnsupportedVariant`` into the
+         row error channel).
+* JPEG — baseline sequential (SOF0/1): gray or YCbCr, any sampling
+         factors incl. 4:2:0, restart intervals, tables read from the
+         file; progressive/arithmetic/12-bit raise ``UnsupportedVariant``.
 * BMP  — uncompressed 24-bit BI_RGB, bottom-up or top-down.
 * PGM  — binary P5, maxval <= 255.
 * WAV  — PCM via the stdlib ``wave`` module (8/16/32-bit).
@@ -30,6 +33,12 @@ import zlib
 import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+class UnsupportedVariant(ValueError):
+    """A format this module decodes in general, but a variant it doesn't
+    (progressive JPEG, interlaced/16-bit PNG, ...) — callers map this to
+    their stub seam rather than treating it as data corruption."""
 
 
 # ---------------------------------------------------------------------------
@@ -59,7 +68,7 @@ def decode_png(data: bytes) -> np.ndarray:
                     int.from_bytes(chunk[4:8], "big"))
             bit_depth, ct, interlace = chunk[8], chunk[9], chunk[12]
             if bit_depth != 8 or ct not in (0, 2, 6) or interlace:
-                raise ValueError(
+                raise UnsupportedVariant(
                     f"unsupported PNG variant (depth={bit_depth}, "
                     f"color={ct}, interlace={interlace})")
         elif typ == b"IDAT":
@@ -221,6 +230,404 @@ def encode_pgm(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT — ITU T.81)
+#
+# Decoder: SOF0 baseline, 1- or 3-component (YCbCr per JFIF), any sampling
+# factors <= 4 (incl. the dominant 4:2:0), restart intervals, FF00 byte
+# stuffing; huffman + quant tables are read FROM the file, so any
+# conforming baseline JPEG decodes.  Progressive (SOF2), arithmetic (SOF9+)
+# and 12-bit raise ValueError into the row error channel — that is the
+# remaining (narrowed) UnsupportedCodec seam.
+# Encoder: deterministic grayscale baseline with the T.81 Annex-K
+# luminance tables at a fixed quality scaling — enough for synthetic
+# corpora and encoding-invariance tests (JPEG is lossy: invariance is
+# within-tolerance, not byte-exact).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# T.81 Annex K.1 luminance quantization (quality ~50 reference)
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+# T.81 Annex K.3 luminance DC huffman spec: (bits-per-length 1..16, values)
+_DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_L_VALS = list(range(12))
+# K.5 luminance AC
+_AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0)
+    c[0, :] = 1.0
+    return c * np.where(x[:, None] == 0, np.sqrt(1 / 8.0), np.sqrt(2 / 8.0))
+
+
+_DCT = _dct_matrix()
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical (length, code) → value table from a T.81 DHT spec."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (code, length) for the encoder (inverse of _huff_canonical)."""
+    return {v: (c, l) for (l, c), v in _huff_canonical(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded JPEG data: unstuffs FF00, stops
+    at any other marker (the caller handles RSTn via ``restart``)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.i, self.buf, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("JPEG scan truncated")
+            b = self.d[self.i]
+            self.i += 1
+            if b == 0xFF:
+                nxt = self.d[self.i] if self.i < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.i += 1
+                else:
+                    raise ValueError("JPEG scan hit marker mid-entropy")
+            self.buf, self.n = b, 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def receive(self, size: int) -> int:
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0
+        if not (self.i + 1 < len(self.d) and self.d[self.i] == 0xFF
+                and 0xD0 <= self.d[self.i + 1] <= 0xD7):
+            raise ValueError("JPEG missing restart marker")
+        self.i += 2
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def _huff_read(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("bad JPEG huffman code")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → uint8 (h, w) gray or (h, w, 3) RGB."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}   # (class 0=DC/1=AC, id) → table
+    comps: list[dict] = []
+    w = h = 0
+    dri = 0
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+        seg = data[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if prec:
+                    raise UnsupportedVariant("16-bit quant tables unsupported")
+                qt[tid] = np.frombuffer(seg[p:p + 64], np.uint8).astype(np.int32)
+                p += 64
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            h, w = (int.from_bytes(seg[1:3], "big"),
+                    int.from_bytes(seg[3:5], "big"))
+            if seg[0] != 8:
+                raise UnsupportedVariant("only 8-bit JPEG supported")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedVariant(
+                "progressive/extended JPEG unsupported (baseline only)")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                huff[(tc, tid)] = _huff_canonical(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = seg[0]
+            smap = {}
+            for c in range(ns):
+                smap[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+            return _decode_scan(data, i + 2 + seg_len, w, h, comps, smap,
+                                qt, huff, dri)
+        i += 2 + seg_len
+    raise ValueError("JPEG has no scan")
+
+
+def _decode_scan(data, pos, w, h, comps, smap, qt, huff, dri) -> np.ndarray:
+    if not comps or not w or not h:
+        raise ValueError("JPEG scan before frame header")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), np.float64)
+              for c in comps]
+    r = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    for mcu in range(mcux * mcuy):
+        if dri and mcu and mcu % dri == 0:
+            r.restart()
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, c in enumerate(comps):
+            dct, act = smap[c["id"]]
+            dc_tab, ac_tab = huff[(0, dct)], huff[(1, act)]
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coefs = np.zeros(64, np.int32)
+                    size = _huff_read(r, dc_tab)
+                    preds[ci] += _extend(r.receive(size), size)
+                    coefs[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_read(r, ac_tab)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break          # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC overflow")
+                        coefs[k] = _extend(r.receive(size), size)
+                        k += 1
+                    blk = np.zeros(64, np.float64)
+                    blk[_ZIGZAG] = coefs * q
+                    px = _DCT.T @ blk.reshape(8, 8) @ _DCT + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf, self.n = 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        for k in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)
+                self.buf, self.n = 0, 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)
+
+
+def _cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(bw: _BitWriter, px: np.ndarray, q: np.ndarray,
+                  pred: int, dc_codes: dict, ac_codes: dict) -> int:
+    """FDCT + quantize + entropy-code one 8x8 block; returns the new DC
+    predictor.  Coefficient vector and divisor are both in zigzag order."""
+    blk = _DCT @ px @ _DCT.T
+    zz = np.round(blk.reshape(64)[_ZIGZAG] / q[_ZIGZAG]).astype(int)
+    diff = int(zz[0]) - pred
+    s = _cat(diff)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _cat(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 75,
+                restart_interval: int = 0) -> bytes:
+    """Deterministic baseline JPEG (Annex-K luminance tables for every
+    component, IJG quality scaling).  Grayscale input → single-component;
+    RGB input → YCbCr with 4:2:0 chroma subsampling (the dominant crawl
+    layout).  ``restart_interval`` emits DRI + RSTn markers every N MCUs."""
+    img = np.asarray(img)
+    color = img.ndim == 3 and img.shape[2] >= 3
+    if img.ndim == 3 and not color:
+        img = img[:, :, 0]
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255).astype(np.int32)
+    dc_codes = _huff_codes(_DC_L_BITS, _DC_L_VALS)
+    ac_codes = _huff_codes(_AC_L_BITS, _AC_L_VALS)
+    bw = _BitWriter()
+
+    if color:
+        h, w = img.shape[:2]
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        pad = lambda p: np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        y = pad(y) - 128.0
+        # 2x2-mean chroma subsample (4:2:0)
+        sub = lambda p: pad(p).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+        cbs, crs = sub(cb), sub(cr)
+        preds = [0, 0, 0]
+        mcux, mcuy = pw // 16, ph // 16
+        for mcu in range(mcux * mcuy):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                preds = [0, 0, 0]
+            my, mx = divmod(mcu, mcux)
+            for by in range(2):
+                for bx in range(2):
+                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    preds[0] = _encode_block(bw, y[y0:y0 + 8, x0:x0 + 8], q,
+                                             preds[0], dc_codes, ac_codes)
+            y0, x0 = my * 8, mx * 8
+            preds[1] = _encode_block(bw, cbs[y0:y0 + 8, x0:x0 + 8], q,
+                                     preds[1], dc_codes, ac_codes)
+            preds[2] = _encode_block(bw, crs[y0:y0 + 8, x0:x0 + 8], q,
+                                     preds[2], dc_codes, ac_codes)
+        comps = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        smap = bytes([1, 0x00, 2, 0x00, 3, 0x00])
+        nc = 3
+    else:
+        pix = img.astype(np.float64)
+        h, w = pix.shape
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(pix, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        pred = 0
+        mcux = pw // 8
+        for mcu in range(mcux * (ph // 8)):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                pred = 0
+            my, mx = divmod(mcu, mcux)
+            pred = _encode_block(bw, padded[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8],
+                                 q, pred, dc_codes, ac_codes)
+        comps = bytes([1, 0x11, 0])
+        smap = bytes([1, 0x00])
+        nc = 1
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    # DQT stores the table in zigzag order
+    dqt = seg(0xDB, b"\x00" + bytes(int(q[z]) for z in _ZIGZAG))
+    sof = seg(0xC0, b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([nc]) + comps)
+    dht = seg(0xC4, b"\x00" + bytes(_DC_L_BITS) + bytes(_DC_L_VALS)
+              + b"\x10" + bytes(_AC_L_BITS) + bytes(_AC_L_VALS))
+    # (two DHT specs in one segment is legal; the parser loops within it)
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    sos = seg(0xDA, bytes([nc]) + smap + b"\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
 # WAV (PCM)
 # ---------------------------------------------------------------------------
 
@@ -279,4 +686,6 @@ def decode_image(codec: str, payload: bytes, width: int = 0,
         return decode_bmp(payload)
     if codec == "PGM":
         return decode_pgm(payload)
+    if codec == "JPEG":
+        return decode_jpeg(payload)
     raise KeyError(codec)

@@ -39,8 +39,11 @@ MEDIA_SCHEMA = (
 
 
 class UnsupportedCodec(NotImplementedError):
-    """STUB SEAM: raised for codecs this container cannot decode (JPEG &
-    co — no PIL/libav here).  Replace by a full codec lib in deployment."""
+    """STUB SEAM: raised for codecs/variants this container cannot decode.
+    Since round 3 the baseline-JPEG decoder (functions/codecs.py) narrowed
+    this seam to progressive/arithmetic/12-bit JPEG, interlaced/16-bit PNG,
+    and formats with no decoder at all (no PIL/libav here).  Replace by a
+    full codec lib in deployment."""
 
 
 def _decode_gray(codec: str, payload: bytes, w: int, h: int) -> np.ndarray:
@@ -49,14 +52,17 @@ def _decode_gray(codec: str, payload: bytes, w: int, h: int) -> np.ndarray:
     except KeyError:
         raise UnsupportedCodec(
             f"no decoder for codec={codec!r} in this container") from None
+    except codecs.UnsupportedVariant as e:
+        raise UnsupportedCodec(str(e)) from None
     return codecs.to_gray(img)
 
 
 def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
-    """Deterministic synthetic media table: gray images in four real
+    """Deterministic synthetic media table: gray images in four lossless
     encodings (RAWGRAY/PNG/BMP/PGM — identical pixel content per id, so
-    features are encoding-invariant), RAWGRAY 'videos' (stacked frames),
-    PCM WAV audio, plus undecodable JPEGs exercising the stub seam."""
+    features are encoding-invariant), real baseline JPEGs (lossy: features
+    match within tolerance), RAWGRAY 'videos' (stacked frames), PCM WAV
+    audio, plus PROGRESSIVE JPEGs exercising the narrowed stub seam."""
     if partitions is None:
         partitions = max(4, spark.sparkContext.defaultParallelism)
 
@@ -69,8 +75,12 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
                 px = np.array([(i * 7 + p) % 251 for p in range(w * h)],
                               dtype=np.uint8).reshape(h, w)
                 if i % 11 == 10:
-                    rows.append((i, "image", "JPEG", b"\xff\xd8fakejpeg",
-                                 (w, h, 1, 0)))
+                    enc = codecs.encode_jpeg(px)
+                    if i % 2 == 0:
+                        # flip SOF0→SOF2: a structurally real progressive
+                        # header, the (narrowed) UnsupportedCodec seam
+                        enc = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+                    rows.append((i, "image", "JPEG", enc, (w, h, 1, 0)))
                 elif i % 13 == 3:
                     rate = 8000 * (1 + i % 3)
                     samp = np.array(

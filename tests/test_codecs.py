@@ -97,7 +97,9 @@ def test_decode_image_dispatch():
     assert np.array_equal(codecs.decode_image("RAWGRAY", img.tobytes(), 8, 8), img)
     assert np.array_equal(codecs.decode_image("PNG", codecs.encode_png(img)), img)
     with pytest.raises(KeyError):
-        codecs.decode_image("JPEG", b"\xff\xd8")
+        codecs.decode_image("GIF", b"GIF89a")  # genuinely no decoder
+    with pytest.raises(ValueError):
+        codecs.decode_image("JPEG", b"\xff\xd8")  # decoder exists; truncated file
 
 
 def test_pgm_crlf_after_maxval():
@@ -131,3 +133,60 @@ def test_pgm_crlf_with_trailing_newline():
     img = _img(2, 3)
     data = b"P5\n3 2\n255\r\n" + img.tobytes() + b"\n"
     assert np.array_equal(codecs.decode_pgm(data), img)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential)
+# ---------------------------------------------------------------------------
+
+def _smooth(h, w):
+    return (np.add.outer(np.arange(h) * 3, np.arange(w) * 2) % 256).astype(np.uint8)
+
+
+def test_jpeg_gray_roundtrip_tolerance():
+    img = _smooth(24, 40)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4  # lossy, q75
+    # flat blocks survive exactly
+    flat = np.full((16, 16), 130, np.uint8)
+    assert np.array_equal(codecs.decode_jpeg(codecs.encode_jpeg(flat)), flat)
+
+
+def test_jpeg_color_420_roundtrip():
+    """3-component YCbCr with 4:2:0 subsampling (the dominant crawl layout)
+    decodes through the interleaved-MCU + upsample path."""
+    h, w = 21, 35  # deliberately not multiples of 16: exercises crop
+    rgb = np.stack([_smooth(h, w), _smooth(h, w)[::-1], _smooth(h, w).T[:h, :w]
+                    if False else np.full((h, w), 90, np.uint8)], axis=2)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(rgb))
+    assert dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.mean() < 6 and err.max() <= 40  # chroma subsample smears edges
+
+
+def test_jpeg_restart_intervals():
+    img = _smooth(40, 72)  # enough MCUs for several restarts
+    enc = codecs.encode_jpeg(img, restart_interval=3)
+    assert b"\xff\xdd" in enc                  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + m]) in enc for m in range(8))
+    dec = codecs.decode_jpeg(enc)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(img))
+    assert np.array_equal(dec, base)           # restarts are layout-neutral
+
+
+def test_jpeg_deterministic_and_dispatch():
+    img = _img(13, 19)
+    enc = codecs.encode_jpeg(img)
+    assert enc == codecs.encode_jpeg(img)
+    assert np.array_equal(codecs.decode_image("JPEG", enc), codecs.decode_jpeg(enc))
+
+
+def test_jpeg_progressive_is_unsupported_variant():
+    enc = bytearray(codecs.encode_jpeg(_img(8, 8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(codecs.UnsupportedVariant):
+        codecs.decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"not a jpeg at all")

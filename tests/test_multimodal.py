@@ -32,7 +32,8 @@ def test_media_schema_and_kinds(media):
 
 def test_image_features_encoding_invariant(media):
     """PNG/BMP/PGM rows carry the same pixel content as the RAWGRAY
-    formula — a real container decode must recover identical stats."""
+    formula — a real container decode must recover identical stats; JPEG
+    is lossy, so its rows match within tolerance instead of exactly."""
     feats = [r for r in image_features(media).collect() if r["error"] is None]
     by_codec = {}
     rows = {r["media_id"]: r for r in media.collect()}
@@ -42,11 +43,12 @@ def test_image_features_encoding_invariant(media):
         i = r["media_id"]
         w, h = 8 + (i % 9), 8 + ((i * 3) % 9)
         px = np.array([(i * 7 + p) % 251 for p in range(w * h)], dtype=np.uint8)
-        assert abs(r["mean_px"] - float(px.mean())) < 1e-9, \
+        tol = 3.0 if rows[i]["codec"] == "JPEG" else 1e-9
+        assert abs(r["mean_px"] - float(px.mean())) < tol, \
             f"codec {rows[i]['codec']} drifted"
         by_codec.setdefault(rows[i]["codec"], 0)
         by_codec[rows[i]["codec"]] += 1
-    for c in ("PNG", "BMP", "PGM", "RAWGRAY"):
+    for c in ("PNG", "BMP", "PGM", "RAWGRAY", "JPEG"):
         assert by_codec.get(c, 0) > 0, f"no decoded {c} rows in fixture"
 
 
@@ -72,10 +74,24 @@ def test_image_features_real_decode(media):
     bad = [r for r in feats.values() if r["error"] is not None]
     n_audio = media.where(F.col("kind") == "audio").count()
     assert len(ok) + len(bad) == N - n_audio  # audio handled by audio_features
-    # undecodable JPEG rows hit the stub seam, not a job failure
+    # PROGRESSIVE JPEG rows hit the (narrowed) stub seam, not a job failure
     assert bad and all("UnsupportedCodec" in r["error"] for r in bad)
-    # verify one decode against numpy ground truth
-    r = next(r for r in ok if r["kind"] == "image")
+    assert all("progressive" in r["error"] for r in bad)
+    jpeg_ids = {r["media_id"] for r in
+                media.where(F.col("codec") == "JPEG").select("media_id").collect()}
+    # baseline JPEG rows now REALLY decode (odd ids; even ids are the
+    # progressive seam) — lossy, so stats match within tolerance
+    baseline_jpegs = [r for r in ok if r["media_id"] in jpeg_ids]
+    assert baseline_jpegs
+    for r in baseline_jpegs:
+        i = r["media_id"]
+        w, h = 8 + (i % 9), 8 + ((i * 3) % 9)
+        px = np.array([(i * 7 + p) % 251 for p in range(w * h)], dtype=np.uint8)
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_px"] - float(px.mean())) < 3.0  # lossy tolerance
+    # verify one LOSSLESS decode against numpy ground truth exactly
+    r = next(r for r in ok
+             if r["kind"] == "image" and r["media_id"] not in jpeg_ids)
     i = r["media_id"]
     w, h = 8 + (i % 9), 8 + ((i * 3) % 9)
     px = np.array([(i * 7 + p) % 251 for p in range(w * h)], dtype=np.uint8)
