@@ -11,8 +11,9 @@ rank), lists (marker prefixes), tables (column-aligned runs), and figures
 
 pypdf/pdfminer are not available in this environment, so this module also
 defines the **generator** ``make_pdf`` for the well-formed subset the
-parser accepts (PDF 1.4/1.5, Type1 Helvetica, absolute ``Td`` positioning
-inside each ``BT``/``ET``, ``Tj`` strings or ``TJ`` kerned arrays with
+parser accepts (PDF 1.4/1.5, Type1 Helvetica, absolute ``Td`` or unrotated
+``Tm``-matrix positioning inside each ``BT``/``ET``, ``Tj`` strings or
+``TJ`` kerned arrays with
 literal ``(...)`` or **hex ``<...>``** operands, image XObjects placed via
 ``q w 0 0 h x y cm /ImN Do Q``, one content stream or a ``/Contents``
 array per page, streams raw or **FlateDecode-compressed**, ``/Length``
@@ -23,7 +24,7 @@ or a PDF 1.5 **xref stream**, non-stream objects loose or packed in
 i.e. most crawl PDFs' structural variety — all parse identically.  All
 fixtures and synthetic corpus PDFs are produced by ``make_pdf``; the
 parser stays deliberately strict beyond that subset (notably: one font,
-no ``Tm`` text matrices, no CID/Unicode encodings, no page rotation) and
+no CID/Unicode encodings, no page/text rotation) and
 returns empty pages for anything else (error-channel semantics — a
 malformed document never fails the job, mirroring
 /root/reference/src/models/document_job.py:229-239).
@@ -83,7 +84,8 @@ def _esc(s: str) -> str:
 
 def make_pdf(pages: list[PageSpec], compress: bool = False,
              tj_arrays: bool = False, hex_strings: bool = False,
-             xref_stream: bool = False, object_streams: bool = False) -> bytes:
+             xref_stream: bool = False, object_streams: bool = False,
+             tm_positioning: bool = False) -> bytes:
     """Serialize PageSpecs into a well-formed PDF file.
 
     Encoding knobs, each matching a real-crawl prevalence axis and each
@@ -102,6 +104,9 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
       non-stream object (catalog, pages node, page dicts, font) is packed
       into one ``/Type /ObjStm`` stream, referenced by type-2 xref
       entries.
+    * ``tm_positioning`` — position text via a ``Tm`` text matrix with the
+      size baked into the scale (``/F1 1 Tf s 0 0 s x y Tm``) instead of
+      ``Tf``-size + ``Td`` — how most PDF generators emit runs.
     """
     if object_streams:
         xref_stream = True
@@ -169,9 +174,15 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
                 shown = f"[{pdf_str(a)} -18 {pdf_str(b)}] TJ"
             else:
                 shown = f"{pdf_str(t.text)} Tj"
-            content_lines.append(
-                f"BT /F1 {t.size:g} Tf {t.x:.2f} {y_base:.2f} Td {shown} ET"
-            )
+            if tm_positioning:
+                content_lines.append(
+                    f"BT /F1 1 Tf {t.size:g} 0 0 {t.size:g} "
+                    f"{t.x:.2f} {y_base:.2f} Tm {shown} ET"
+                )
+            else:
+                content_lines.append(
+                    f"BT /F1 {t.size:g} Tf {t.x:.2f} {y_base:.2f} Td {shown} ET"
+                )
         content = ("\n".join(content_lines) + "\n").encode()
         cnum = add_stream("", content)
         xobj = ""
@@ -298,6 +309,9 @@ _FLATE_RE = re.compile(rb"/Filter\s*(?:\[[^\]]*?)?/FlateDecode")
 _OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm")
 _TF_RE = re.compile(r"/F\d+\s+([\d.]+)\s+Tf")
 _TD_RE = re.compile(r"([-\d.]+)\s+([-\d.]+)\s+Td")
+_TM_RE = re.compile(
+    r"([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+"
+    r"([-\d.]+)\s+([-\d.]+)\s+Tm")
 # one alternation so Tj strings (literal or hex) and TJ kerned arrays are
 # recovered in content order; the TJ body admits escapes, complete (...)
 # strings (which may contain ']'), hex strings, and bare non-']' chars
@@ -494,11 +508,21 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
         for bt in _BT_RE.finditer(content):
             seg = bt.group(1)
             size = 12.0
-            tm = _TF_RE.search(seg)
-            if tm:
-                size = float(tm.group(1))
-            pm = _TD_RE.search(seg)
-            x, y_base = (float(pm.group(1)), float(pm.group(2))) if pm else (0.0, 0.0)
+            fm_ = _TF_RE.search(seg)
+            if fm_:
+                size = float(fm_.group(1))
+            mm = _TM_RE.search(seg)
+            if mm:
+                # Tm text matrix [a b c d e f]: position = (e, f), glyph
+                # scale baked into d (the common generator idiom is
+                # "/F1 1 Tf s 0 0 s x y Tm"); rotation (b/c != 0) is out
+                # of subset — d still gives the vertical scale
+                x, y_base = float(mm.group(5)), float(mm.group(6))
+                size *= float(mm.group(4))
+            else:
+                pm = _TD_RE.search(seg)
+                x, y_base = ((float(pm.group(1)), float(pm.group(2)))
+                             if pm else (0.0, 0.0))
             text = _segment_text(seg)
             if text.strip():
                 # baseline → top-of-run, matching the generator's convention

@@ -170,7 +170,8 @@ def _pdf_doc(r: random.Random, doc_id: int, max_pages: int = 14) -> tuple[bytes,
     return (
         make_pdf(pages, compress=doc_id % 2 == 0, tj_arrays=doc_id % 3 == 0,
                  hex_strings=doc_id % 5 == 0, xref_stream=doc_id % 11 == 0,
-                 object_streams=doc_id % 7 == 0),
+                 object_streams=doc_id % 7 == 0,
+                 tm_positioning=doc_id % 13 == 0),
         " ".join(all_text),
     )
 
@@ -271,11 +272,12 @@ def _bridge_pdf(doc_id: int, text: str) -> bytes:
     if line:
         pages[-1].texts.append(TextSpec(72, y, 12, line))
     # deterministic encoding mix: the driver's extract_docs oracle therefore
-    # exercises compressed, kerned, hex-string, xref-stream, and
-    # object-stream PDFs through the FULL pipeline
+    # exercises compressed, kerned, hex-string, xref-stream, object-stream,
+    # and Tm-positioned PDFs through the FULL pipeline
     return make_pdf(pages, compress=doc_id % 14 == 0, tj_arrays=doc_id % 21 == 0,
                     hex_strings=doc_id % 15 == 0, xref_stream=doc_id % 33 == 0,
-                    object_streams=doc_id % 22 == 0)
+                    object_streams=doc_id % 22 == 0,
+                    tm_positioning=doc_id % 26 == 0)
 
 
 def _bridge_fig_attrs(doc_id: int) -> tuple[tuple[int, int, int, int], str, str]:

@@ -185,13 +185,13 @@ def test_flate_and_tj_invariance():
         images=[ImageSpec(90, 160, 380, 290, "chart")],
     )]
     base = extract_pdf(make_pdf(spec))
-    # every combination of the five real-crawl encoding axes parses to the
+    # every combination of the six real-crawl encoding axes parses to the
     # byte-identical document: FlateDecode, TJ kerned arrays, hex string
-    # operands, PDF 1.5 xref streams, and object streams
+    # operands, PDF 1.5 xref streams, object streams, Tm positioning
     import itertools
-    for compress, tj, hexs, xs, objstm in itertools.product([False, True], repeat=5):
+    for compress, tj, hexs, xs, objstm, tm in itertools.product([False, True], repeat=6):
         kw = dict(compress=compress, tj_arrays=tj, hex_strings=hexs,
-                  xref_stream=xs, object_streams=objstm)
+                  xref_stream=xs, object_streams=objstm, tm_positioning=tm)
         other = extract_pdf(make_pdf(spec, **kw))
         assert other.extracted_text == base.extracted_text, kw
         assert other.markdown == base.markdown, kw
