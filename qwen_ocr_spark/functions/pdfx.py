@@ -299,7 +299,7 @@ class PageRuns:
     images: list[tuple[figk.BBox, str, str, bytes]]
 
 
-_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
+_OBJ_START_RE = re.compile(rb"(\d+)\s+0\s+obj")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 # direct length only — "/Length 5 0 R" is an indirect reference, resolved
 # separately against the object table
@@ -327,6 +327,40 @@ _CM_DO_RE = re.compile(
     r"q\s+([-\d.]+)\s+[-\d.]+\s+[-\d.]+\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+cm\s*/(\w+)\s+Do\s+Q"
 )
 _BT_RE = re.compile(r"BT(.*?)ET", re.S)
+
+
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """Stream-aware top-level object scan.
+
+    A naive ``(\\d+) 0 obj(.*?)endobj`` regex corrupts silently when
+    FlateDecode output happens to contain ``endobj`` (truncated body →
+    failed inflate → empty page, NOT an error row) or ``N 0 obj`` (phantom
+    object that can SHADOW a real one in the table) — one-in-a-billion per
+    stream, i.e. thousands of silently-wrong documents at 10^12 scale.
+    This scanner jumps over each object's stream payload (direct /Length
+    when present, else the next ``endstream``) so entropy bytes are never
+    pattern-matched."""
+    objs: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        m = _OBJ_START_RE.search(data, pos)
+        if not m:
+            return objs
+        body_start = m.end()
+        sm = _STREAM_START_RE.search(data, body_start)
+        end = data.find(b"endobj", body_start)
+        if sm and (end == -1 or sm.start() < end):
+            lm = _LENGTH_RE.search(data, body_start, sm.start())
+            skip_to = (sm.end() + int(lm.group(1)) if lm
+                       else data.find(b"endstream", sm.end()))
+            if skip_to == -1:
+                return objs  # truncated stream: drop the tail, keep the rest
+            end = data.find(b"endobj", skip_to)
+        if end == -1:
+            return objs
+        objs[int(m.group(1))] = data[body_start:end]
+        pos = end + 6
+    return objs
 
 
 def _stream_bytes(obj: bytes, objs: dict[int, bytes] | None = None) -> bytes:
@@ -454,13 +488,12 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
     """
     if not data.startswith(b"%PDF-"):
         return []
-    objs: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(data):
-        objs[int(m.group(1))] = m.group(2)
-    # object discovery is SCAN-based (every "N 0 obj"), deliberately
-    # xref-agnostic: classic tables, PDF 1.5 xref streams, and broken/
-    # truncated xrefs (common in crawls) all parse the same way.  Objects
-    # packed in /ObjStm streams are unpacked into the same table here.
+    # object discovery is SCAN-based (every "N 0 obj", stream-payload-aware
+    # — see _scan_objects), deliberately xref-agnostic: classic tables,
+    # PDF 1.5 xref streams, and broken/truncated xrefs (common in crawls)
+    # all parse the same way.  Objects packed in /ObjStm streams are
+    # unpacked into the same table here.
+    objs = _scan_objects(data)
     _unpack_object_streams(objs)
 
     # locate the Pages node for /Kids ordering

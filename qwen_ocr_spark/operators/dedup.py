@@ -32,7 +32,7 @@ because md5 is engine-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MINHASH_SLOTS = 8
@@ -49,6 +49,52 @@ def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
           .groupBy("text_md5")
           .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
     )
+
+
+def incremental_dedup(new_df: DataFrame, digest_path: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      commit: bool = True, run_id: str | None = None) -> DataFrame:
+    """Cross-run exact dedup: drop rows whose text digest is already in the
+    committed digest table, then (``commit=True``) append the survivors'
+    digests — the operator a crawl pipeline runs per ingest batch so no
+    snapshot ever re-admits text any PREVIOUS snapshot contained.
+
+    Scale shape: the state is a table of 16-byte md5 digests, not text —
+    at 10^12 documents that is ~16 TB of digests vs ~100 TB of text, and
+    the anti-join shuffles only (digest) pairs; AQE broadcasts the batch
+    side while it is small.  Within-batch duplicates also collapse (keep
+    min id), so the operator is idempotent: re-running the same batch
+    admits zero rows.  Digests are committed under a run_id partition and
+    the survivors are re-derived from a read-back of ONLY that partition
+    (the write_output pattern — appending to ``digest_path`` invalidates
+    any plan that anti-joins against it, so returning the pre-append
+    ``fresh`` plan would silently re-evaluate to zero rows).  Single
+    committer per digest table at a time, like the url resume anti-join."""
+    import uuid
+    from pyspark.sql.utils import AnalysisException
+    spark = new_df.sparkSession
+    batch = new_df.withColumn(
+        "text_md5", F.md5(F.col(text_col).cast("binary")))
+    w = Window.partitionBy("text_md5").orderBy(F.asc(id_col))
+    batch = (batch.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1).drop("_rn"))
+    try:
+        seen = spark.read.parquet(digest_path).select("text_md5")
+        fresh = batch.join(seen, on="text_md5", how="left_anti")
+    except AnalysisException:
+        fresh = batch  # first batch: nothing committed yet
+    if not commit:
+        return fresh.drop("text_md5")
+    rid = run_id or f"dedup-{uuid.uuid4().hex[:12]}"
+    (
+        fresh.select("text_md5").withColumn("run_id", F.lit(rid))
+        .write.mode("append").partitionBy("run_id").parquet(digest_path)
+    )
+    try:
+        mine = spark.read.parquet(f"{digest_path}/run_id={rid}")
+    except AnalysisException:
+        return batch.limit(0).drop("text_md5")  # nothing was fresh
+    return batch.join(mine, on="text_md5", how="left_semi").drop("text_md5")
 
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

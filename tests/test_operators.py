@@ -198,6 +198,34 @@ def test_simhash_near_pairs_radius(spark):
     assert pairs4.get((1, 2)) == 0
 
 
+def test_incremental_dedup_across_runs(spark, tmp_path):
+    """Cross-run exact dedup: a later batch never re-admits text an earlier
+    batch committed; within-batch dups collapse; re-running a batch admits
+    nothing (idempotent)."""
+    digest_path = str(tmp_path / "digests")
+    b1 = spark.createDataFrame(pd.DataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "unique text one")], columns=["doc_id", "text"]))
+    got1 = {r["doc_id"] for r in
+            dedup.incremental_dedup(b1, digest_path).collect()}
+    assert got1 == {1, 3}  # within-batch dup collapsed to min id
+    b2 = spark.createDataFrame(pd.DataFrame(
+        [(10, "the quick brown fox"),   # seen in batch 1 → dropped
+         (11, "unique text two")], columns=["doc_id", "text"]))
+    got2 = {r["doc_id"] for r in
+            dedup.incremental_dedup(b2, digest_path).collect()}
+    assert got2 == {11}
+    # replaying batch 2 admits nothing, and the survivors keep all columns
+    replay = dedup.incremental_dedup(b2, digest_path)
+    assert replay.count() == 0
+    assert set(replay.columns) == {"doc_id", "text"}
+    # commit=False previews without mutating state
+    b3 = spark.createDataFrame(pd.DataFrame(
+        [(20, "unique text three")], columns=["doc_id", "text"]))
+    assert dedup.incremental_dedup(b3, digest_path, commit=False).count() == 1
+    assert dedup.incremental_dedup(b3, digest_path, commit=False).count() == 1
+
+
 def test_ngram_jaccard_storage_handle(spark):
     """The persisted capped-shingle intermediate is handed back for explicit
     release — a long-lived session must not rely on LRU eviction."""

@@ -272,3 +272,22 @@ def test_contents_array_concatenation():
         b"/Contents " + m.group(1) + b" 0 R",
         b"/Contents [" + m.group(1) + b" 0 R]")
     assert parse_pdf(doubled)[0].runs[0].text == "alpha beta gamma"
+
+
+def test_stream_bytes_matching_obj_markers_do_not_corrupt():
+    """Entropy-coded stream payloads can contain 'endobj' / 'N 0 obj' byte
+    sequences; the stream-aware object scan must neither truncate the
+    object nor register phantom objects that shadow real ones."""
+    spec = [PageSpec(texts=[TextSpec(72, 100, 12, "alpha beta gamma")],
+                     images=[ImageSpec(90, 160, 380, 290, "chart")])]
+    pdf = make_pdf(spec)
+    evil = b"\x00endobj\n2 0 obj\n<< /Type /Pages /Kids [] >>\nendobj\x00\x00"
+    assert len(evil) <= 64
+    evil = evil + b"\x80" * (64 - len(evil))
+    assert b"\x80" * 64 in pdf
+    poisoned = pdf.replace(b"\x80" * 64, evil, 1)
+    pages = parse_pdf(poisoned)
+    assert pages and pages[0].runs[0].text == "alpha beta gamma"
+    # the figure still parses and carries the poisoned payload verbatim
+    (bbox, etype, fmt, raw) = pages[0].images[0]
+    assert raw == evil and etype == "chart"
