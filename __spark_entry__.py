@@ -1186,31 +1186,36 @@ WHERE floor(({_COS_SQL}) * 1e6) IS NOT NULL
   AND floor(({_COS_SQL}) * 1e6) >= 950000
 """
 
+    # generated from textstats.LANG_MARKERS so Spark operator and oracle
+    # can never drift: per-language marker-hit sums, argmax with ties
+    # breaking by dict order (the Spark side's inverted-prio struct max)
+    from qwen_ocr_spark.operators.textstats import LANG_MARKERS
+    _langs = list(LANG_MARKERS)
+    _score_cols = ",\n    ".join(
+        " + ".join(
+            f"CAST((length(pt) - length(replace(pt, ' {m} ', ''))) / {len(m) + 2} AS INT)"
+            for m in markers
+        ) + f" AS s_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    _argmax = "\n       ".join(
+        "WHEN " + " AND ".join(
+            f"s_{lang} >= s_{other}" for other in _langs[i + 1:]
+        ) + f" THEN '{lang}'"
+        for i, lang in enumerate(_langs[:-1])
+    )
     q["lang_id"] = f"""
 WITH p AS (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS pt FROM documents),
 s AS (
   SELECT doc_id, lang, text,
-    CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS INT)
-      + CAST((length(pt) - length(replace(pt, ' and ', ''))) / 5 AS INT)
-      + CAST((length(pt) - length(replace(pt, ' of ', ''))) / 4 AS INT) AS s_en,
-    CAST((length(pt) - length(replace(pt, ' der ', ''))) / 5 AS INT)
-      + CAST((length(pt) - length(replace(pt, ' und ', ''))) / 5 AS INT)
-      + CAST((length(pt) - length(replace(pt, ' die ', ''))) / 5 AS INT) AS s_de,
-    CAST((length(pt) - length(replace(pt, ' le ', ''))) / 4 AS INT)
-      + CAST((length(pt) - length(replace(pt, ' et ', ''))) / 4 AS INT)
-      + CAST((length(pt) - length(replace(pt, ' les ', ''))) / 5 AS INT) AS s_fr,
-    CAST((length(pt) - length(replace(pt, ' la ', ''))) / 4 AS INT)
-      + CAST((length(pt) - length(replace(pt, ' y ', ''))) / 3 AS INT)
-      + CAST((length(pt) - length(replace(pt, ' los ', ''))) / 5 AS INT) AS s_es
+    {_score_cols}
   FROM p
 )
 SELECT doc_id, lang,
   CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
-       WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
-       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-       WHEN s_fr >= s_es THEN 'fr'
-       ELSE 'es' END AS pred_lang
+       WHEN greatest({", ".join(f"s_{l}" for l in _langs)}) <= 0 THEN 'und'
+       {_argmax}
+       ELSE '{_langs[-1]}' END AS pred_lang
 FROM s
 """
 

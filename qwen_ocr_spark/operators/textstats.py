@@ -16,14 +16,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Stopword markers per language for the n-gram/stopword language heuristic.
-# Deliberately tiny and frozen: the point is deterministic, cheap, JVM-side
-# classification, not linguistic accuracy.
+# Function-word markers per language for the stopword-profile language
+# heuristic (bare words; the operator pads them with spaces).  Widened in
+# round 3 from 3 markers x 4 languages to 8 x 6: still deterministic,
+# cheap, JVM-side classification — a frozen profile, not a trained model —
+# but materially harder to fool with a single borrowed word.  Marker
+# overlaps across Romance languages ("que", "para") are deliberate: both
+# languages score the hit and the DISTINCTIVE markers decide the argmax.
 LANG_MARKERS: dict[str, list[str]] = {
-    "en": [" the ", " and ", " of "],
-    "de": [" der ", " und ", " die "],
-    "fr": [" le ", " et ", " les "],
-    "es": [" la ", " y ", " los "],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "und", "die", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "et", "les", "des", "est", "une", "dans", "que"],
+    "es": ["la", "y", "los", "del", "una", "por", "con", "para"],
+    "it": ["il", "che", "di", "non", "per", "sono", "gli", "anche"],
+    "pt": ["do", "da", "em", "para", "uma", "mais", "como", "os"],
 }
 
 EN_STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "it", "that", "for"]
@@ -44,7 +50,8 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     scores = [
         F.struct(
-            sum((_count_occurrences(padded, m) for m in markers), F.lit(0)).alias("score"),
+            sum((_count_occurrences(padded, f" {m} ") for m in markers),
+                F.lit(0)).alias("score"),
             F.lit(i).alias("prio"),
             F.lit(lang).alias("lang"),
         )

@@ -69,6 +69,21 @@ def test_lang_id_on_crafted_texts(docs):
     assert preds[7] == "und"
 
 
+def test_lang_id_wider_profiles(spark):
+    """Round-3 marker widening: it/pt classify, and Romance languages with
+    overlapping function words ('que', 'para') still separate."""
+    rows = [
+        (1, "il gatto che non dorme sono felice per anche gli amici di casa"),
+        (2, "como mais do que uma casa para os amigos em lisboa da cidade"),
+        (3, "le chat est dans les maisons des amis que nous avons une fois"),
+        (4, "la casa para los amigos del pueblo con una puerta por y"),
+    ]
+    preds = {r["doc_id"]: r["pred_lang"]
+             for r in textstats.with_lang_id(spark.createDataFrame(
+                 pd.DataFrame(rows, columns=["doc_id", "text"]))).collect()}
+    assert preds == {1: "it", 2: "pt", 3: "fr", 4: "es"}
+
+
 def test_token_count_edges(docs):
     t = {r["doc_id"]: (r["n_tokens"], r["n_subtokens_est"])
          for r in textstats.with_token_count(docs).collect()}
