@@ -423,6 +423,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      max_df=dedup.MAX_SHINGLE_DF)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: capped-jaccard pairs → connected components →
+    min-id representative per group (is_keep).  Exactly oracled via a
+    recursive transitive-closure CTE over the same pair SQL."""
+    return dedup.duplicate_groups(_docs2(spark, sf_dir), threshold=0.8,
+                                  max_df=dedup.MAX_SHINGLE_DF)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -669,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_groups": q_dedup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1084,6 +1093,40 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE floor(inter * 10000.0 / (sa.n_shingles + sb.n_shingles - inter)) >= 8000
+"""
+
+    # near-dup clustering: the SAME capped-jaccard pair CTEs feed a
+    # recursive transitive closure; group_id = min reachable id (exactly
+    # the Spark min-label-propagation fixpoint)
+    q["dedup_groups"] = f"""
+WITH RECURSIVE {_DOCS2},
+{_shingles_sql('docs2')},
+kept AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) <= {dedup.MAX_SHINGLE_DF}),
+shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shk GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+  FROM shk l JOIN shk r ON l.shingle = r.shingle
+  WHERE l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE floor(inter * 10000.0 / (sa.n_shingles + sb.n_shingles - inter)) >= 8000
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+)
+SELECT node AS doc_id, min(reach) AS group_id,
+       (node = min(reach)) AS is_keep
+FROM walk GROUP BY node
 """
 
     q["ann_cosine_topk"] = """

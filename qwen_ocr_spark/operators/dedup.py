@@ -156,6 +156,74 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Duplicate-group clustering: connected components over a near-dup
+    pair relation → ``(node, group_id)`` with group_id = the component's
+    minimum id (the canonical "keep" representative).  The step every
+    dedup pipeline needs after pair generation: near-duplication is
+    transitive in effect (A~B, B~C ⇒ one cluster) even when A~C scored
+    below threshold, and exactly one representative per cluster survives.
+
+    Algorithm: iterative min-label propagation — label(v) starts at v and
+    each round takes the min over neighbors' labels; converges in
+    O(component diameter) rounds, checked via the monotonically decreasing
+    global label sum (one cheap agg per round, no row-comparison join).
+    Near-dup clusters are shallow (dozens of docs, diameter ~ a few hops),
+    so this beats the constant-factor overhead of the alternating
+    large-star/small-star construction that would be preferred if
+    components could span millions of rows.  Each round is one int-pair
+    equi-join + min-aggregate — the only state shuffled is (node, label).
+    Rounds materialize via persist so lineage never recomputes; previous
+    rounds unpersist eagerly."""
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")).persist())
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.select(F.col("node").alias("b"),
+                                     F.col("label").alias("nlabel")), on="b")
+            .groupBy("a").agg(F.min("nlabel").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(labels["node"],
+                    F.least(labels["label"],
+                            F.coalesce(F.col("min_nbr"), labels["label"])
+                            ).alias("label"))
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # min-labels can only decrease: fixpoint
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    out = labels.select(F.col("node"), F.col("label").alias("group_id"))
+    labels.unpersist()
+    return out
+
+
+def duplicate_groups(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", threshold: float = 0.8,
+                     max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+    """End-to-end near-dup clustering: n-gram Jaccard pairs above
+    ``threshold`` → connected components → one row per clustered document
+    ``(doc_id, group_id, is_keep)`` with the min-id representative marked.
+    Documents with no near-dup partner don't appear (they are all keeps)."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col,
+                                threshold=threshold, max_df=max_df)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias(id_col),
+        "group_id",
+        (F.col("node") == F.col("group_id")).alias("is_keep"),
+    )
+
+
 def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash as a '0'/'1' string (MSB first).
 

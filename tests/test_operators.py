@@ -213,6 +213,31 @@ def test_simhash_near_pairs_radius(spark):
     assert pairs4.get((1, 2)) == 0
 
 
+def test_connected_components_chains_and_islands(spark):
+    """Transitivity: A~B, B~C cluster together even without an A~C pair;
+    disjoint clusters stay apart; group_id is the component min."""
+    pairs = spark.createDataFrame(pd.DataFrame(
+        [(2, 7), (7, 4), (10, 11), (20, 21), (21, 22), (22, 23), (23, 2)],
+        columns=["id_a", "id_b"]))
+    got = {r["node"]: r["group_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    # the 2-7-4 chain merges with 20-21-22-23 through (23, 2): min is 2
+    assert {got[k] for k in (2, 4, 7, 20, 21, 22, 23)} == {2}
+    assert got[10] == got[11] == 10
+    # duplicate_groups marks exactly one keeper per cluster
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "alpha beta gamma delta epsilon eta"),   # near dup of 1/2
+         (9, "completely different words entirely here now")],
+        columns=["doc_id", "text"]))
+    groups = dedup.duplicate_groups(docs, threshold=0.5).collect()
+    by_id = {r["doc_id"]: r for r in groups}
+    assert {r["group_id"] for r in groups} == {1}
+    assert by_id[1]["is_keep"] and not by_id[2]["is_keep"]
+    assert 9 not in by_id  # no near-dup partner → not clustered
+
+
 def test_incremental_dedup_across_runs(spark, tmp_path):
     """Cross-run exact dedup: a later batch never re-admits text an earlier
     batch committed; within-batch dups collapse; re-running a batch admits
