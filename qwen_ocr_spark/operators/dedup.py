@@ -209,13 +209,17 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
 
 def duplicate_groups(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", threshold: float = 0.8,
-                     max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+                     max_df: int | None = MAX_SHINGLE_DF,
+                     storage: list | None = None) -> DataFrame:
     """End-to-end near-dup clustering: n-gram Jaccard pairs above
     ``threshold`` → connected components → one row per clustered document
     ``(doc_id, group_id, is_keep)`` with the min-id representative marked.
-    Documents with no near-dup partner don't appear (they are all keeps)."""
+    Documents with no near-dup partner don't appear (they are all keeps).
+    ``storage`` receives the persisted shingle intermediate (see
+    ``ngram_jaccard_pairs``)."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col,
-                                threshold=threshold, max_df=max_df)
+                                threshold=threshold, max_df=max_df,
+                                storage=storage)
     cc = connected_components(pairs)
     return cc.select(
         F.col("node").alias(id_col),
