@@ -14,17 +14,20 @@ defines the **generator** ``make_pdf`` for the well-formed subset the
 parser accepts (PDF 1.4/1.5, Type1 Helvetica, absolute ``Td`` or unrotated
 ``Tm``-matrix positioning inside each ``BT``/``ET``, ``Tj`` strings or
 ``TJ`` kerned arrays with
-literal ``(...)`` or **hex ``<...>``** operands, image XObjects placed via
-``q w 0 0 h x y cm /ImN Do Q``, one content stream or a ``/Contents``
-array per page, streams raw or **FlateDecode-compressed**, ``/Length``
-direct or an **indirect reference**, cross-references as a classic table
-or a PDF 1.5 **xref stream**, non-stream objects loose or packed in
-**object streams** (``/Type /ObjStm``)).  Object discovery is scan-based
+literal ``(...)`` or **hex ``<...>``** operands, simple or **composite
+Type0/Identity-H fonts** (2-byte glyph indices recovered through the
+``/ToUnicode`` CMap — the word-processor-PDF layout), image XObjects
+placed via ``q w 0 0 h x y cm /ImN Do Q``, one content stream or a
+``/Contents`` array per page, streams raw or **FlateDecode-compressed**,
+``/Length`` direct or an **indirect reference**, cross-references as a
+classic table or a PDF 1.5 **xref stream**, non-stream objects loose or
+packed in **object streams** (``/Type /ObjStm``)).  Object discovery is scan-based
 ("N 0 obj" + ObjStm unpacking), so classic, 1.5, and broken-xref files —
 i.e. most crawl PDFs' structural variety — all parse identically.  All
 fixtures and synthetic corpus PDFs are produced by ``make_pdf``; the
-parser stays deliberately strict beyond that subset (notably: one font,
-no CID/Unicode encodings, no page/text rotation) and
+parser stays deliberately strict beyond that subset (notably: one font
+per page, CID fonts require a ToUnicode CMap — no glyph-table fallback —
+and no page/text rotation) and
 returns empty pages for anything else (error-channel semantics — a
 malformed document never fails the job, mirroring
 /root/reference/src/models/document_job.py:229-239).
@@ -85,7 +88,7 @@ def _esc(s: str) -> str:
 def make_pdf(pages: list[PageSpec], compress: bool = False,
              tj_arrays: bool = False, hex_strings: bool = False,
              xref_stream: bool = False, object_streams: bool = False,
-             tm_positioning: bool = False) -> bytes:
+             tm_positioning: bool = False, cid_font: bool = False) -> bytes:
     """Serialize PageSpecs into a well-formed PDF file.
 
     Encoding knobs, each matching a real-crawl prevalence axis and each
@@ -107,6 +110,12 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
     * ``tm_positioning`` — position text via a ``Tm`` text matrix with the
       size baked into the scale (``/F1 1 Tf s 0 0 s x y Tm``) instead of
       ``Tf``-size + ``Td`` — how most PDF generators emit runs.
+    * ``cid_font`` — a composite Type0 font (Identity-H encoding,
+      CIDFontType2 descendant): string operands become 2-byte glyph-index
+      hex strings mapped back to text by a ``/ToUnicode`` CMap (bfchar
+      entries over the document's subset charset, glyph ids assigned by
+      subset order exactly like real font subsetters) — the layout
+      LibreOffice/Chrome-print/word-processor PDFs ship.
     """
     if object_streams:
         xref_stream = True
@@ -118,7 +127,15 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
         is_stream.append(stream)
         return len(objs)
 
+    gid_of: dict[str, int] = {}
+    if cid_font:
+        charset = sorted(set("".join(
+            t.text for spec in pages for t in spec.texts)))
+        gid_of = {ch: i + 1 for i, ch in enumerate(charset)}  # 0 = .notdef
+
     def pdf_str(s: str) -> str:
+        if cid_font:
+            return "<" + "".join(f"{gid_of[c]:04X}" for c in s) + ">"
         if hex_strings:
             return "<" + s.encode("latin-1", "replace").hex().upper() + ">"
         return f"({_esc(s)})"
@@ -136,7 +153,28 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
     def add_stream(dict_prefix: str, payload: bytes) -> int:
         return add(stream_obj(dict_prefix, payload), stream=True)
 
-    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if cid_font:
+        # ToUnicode CMap: one bfchar entry per subset glyph (dst = UTF-16BE)
+        bfchars = "\n".join(
+            f"<{gid:04X}> <{ord(ch):04X}>" for ch, gid in gid_of.items())
+        cmap_payload = (
+            "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+            "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            f"{len(gid_of)} beginbfchar\n{bfchars}\nendbfchar\n"
+            "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+        ).encode()
+        cmap_num = add_stream("", cmap_payload)
+        desc_num = add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /CIDToGIDMap /Identity >>")
+        font_num = add(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica "
+            f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+            f"/ToUnicode {cmap_num} 0 R >>".encode())
+    else:
+        font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     page_obj_nums: list[int] = []
     pages_node_num = len(pages) * 0 + 0  # placeholder, patched below
@@ -428,6 +466,70 @@ def _unpack_object_streams(objs: dict[int, bytes]) -> None:
             objs.setdefault(onum, data[first + off:first + end])
 
 
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEXTRIPLE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap → {glyph id: text}: bfchar pairs and simple
+    incrementing bfrange triples (dst hex is UTF-16BE, possibly multiple
+    code units).  Unknown constructs are skipped, never fatal."""
+    cmap: dict[int, str] = {}
+
+    def uni(h: bytes) -> str:
+        s = h.decode()
+        if len(s) % 2:
+            s += "0"
+        return bytes.fromhex(s).decode("utf-16-be", "ignore")
+
+    for seg in _BFRANGE_RE.findall(data):
+        for lo, hi, dst in _HEXTRIPLE_RE.findall(seg):
+            lo_i, hi_i, d = int(lo, 16), int(hi, 16), int(dst, 16)
+            if not 0 <= hi_i - lo_i <= 0xFFFF:
+                continue  # malformed/adversarial range: skip, don't blow up
+            for k in range(hi_i - lo_i + 1):
+                cmap[lo_i + k] = chr(d + k)
+    for seg in _BFCHAR_RE.findall(data):
+        for src, dst in _HEXPAIR_RE.findall(seg):
+            cmap[int(src, 16)] = uni(dst)
+    return cmap
+
+
+def _page_cmap(body: bytes, objs: dict[int, bytes]) -> dict[int, str] | None:
+    """ToUnicode CMap of the page's font, when it is a composite Type0
+    (Identity-H) font — string operands are then 2-byte glyph indices."""
+    fm = re.search(rb"/Font\s*<<(.*?)>>", body, re.S)
+    if not fm:
+        return None
+    fonts = re.findall(rb"/\w+\s+(\d+)\s+0\s+R", fm.group(1))
+    if not fonts:
+        return None
+    fobj = objs.get(int(fonts[0]), b"")
+    if not re.search(rb"/Subtype\s*/Type0", fobj):
+        return None
+    tm_ = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fobj)
+    if not tm_:
+        return None
+    return _parse_tounicode(
+        _stream_bytes(objs.get(int(tm_.group(1)), b""), objs))
+
+
+def _cid_decode_hex(hexs: str, cmap: dict[int, str]) -> str:
+    h = re.sub(r"\s+", "", hexs)
+    h = h[: len(h) // 4 * 4]  # 2-byte codes; ragged tail dropped
+    return "".join(cmap.get(int(h[i:i + 4], 16), "")
+                   for i in range(0, len(h), 4))
+
+
+def _cid_decode_str(s: str, cmap: dict[int, str]) -> str:
+    b = s.encode("latin-1", "replace")
+    return "".join(cmap.get((b[i] << 8) | b[i + 1], "")
+                   for i in range(0, len(b) - 1, 2))
+
+
 def _hex_str(h: str) -> str:
     """<hex> string operand → text (whitespace allowed; odd length pads a
     trailing 0 per spec; single-byte latin-1 charmap, our font subset)."""
@@ -440,22 +542,31 @@ def _hex_str(h: str) -> str:
         return ""
 
 
-def _segment_text(seg: str) -> str:
+def _segment_text(seg: str, cmap: dict[int, str] | None = None) -> str:
     """Concatenate shown text of Tj and TJ operators in content order
     (TJ kern adjustments are layout-only and dropped); string operands may
-    be literal ``(...)`` or hex ``<...>`` in either operator."""
+    be literal ``(...)`` or hex ``<...>`` in either operator.  With a
+    Type0 font's ToUnicode ``cmap``, operands are 2-byte glyph indices
+    mapped through it instead of raw character bytes."""
+    def lit(s: str) -> str:
+        s = _unescape_pdf_string(s)
+        return _cid_decode_str(s, cmap) if cmap is not None else s
+
+    def hx(h: str) -> str:
+        return _cid_decode_hex(h, cmap) if cmap is not None else _hex_str(h)
+
     parts: list[str] = []
     for m in _TEXT_OP_RE.finditer(seg):
         if m.group(1) is not None:
-            parts.append(_unescape_pdf_string(m.group(1)))
+            parts.append(lit(m.group(1)))
         elif m.group(2) is not None:
-            parts.append(_hex_str(m.group(2)))
+            parts.append(hx(m.group(2)))
         else:
             for e in _TJ_ELEM_RE.finditer(m.group(3)):
                 if e.group(1) is not None:
-                    parts.append(_unescape_pdf_string(e.group(1)))
+                    parts.append(lit(e.group(1)))
                 else:
-                    parts.append(_hex_str(e.group(2)))
+                    parts.append(hx(e.group(2)))
     return "".join(parts)
 
 _PDF_UNESCAPE = {
@@ -537,6 +648,7 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
             for nm, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", xm.group(1)):
                 xmap[nm.decode()] = int(num)
 
+        cmap = _page_cmap(body, objs)
         runs: list[Run] = []
         for bt in _BT_RE.finditer(content):
             seg = bt.group(1)
@@ -556,7 +668,7 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
                 pm = _TD_RE.search(seg)
                 x, y_base = ((float(pm.group(1)), float(pm.group(2)))
                              if pm else (0.0, 0.0))
-            text = _segment_text(seg)
+            text = _segment_text(seg, cmap)
             if text.strip():
                 # baseline → top-of-run, matching the generator's convention
                 runs.append(Run(x=x, y=ph - y_base - size, size=size, text=text))

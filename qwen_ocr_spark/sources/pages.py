@@ -171,7 +171,8 @@ def _pdf_doc(r: random.Random, doc_id: int, max_pages: int = 14) -> tuple[bytes,
         make_pdf(pages, compress=doc_id % 2 == 0, tj_arrays=doc_id % 3 == 0,
                  hex_strings=doc_id % 5 == 0, xref_stream=doc_id % 11 == 0,
                  object_streams=doc_id % 7 == 0,
-                 tm_positioning=doc_id % 13 == 0),
+                 tm_positioning=doc_id % 13 == 0,
+                 cid_font=doc_id % 17 == 0),
         " ".join(all_text),
     )
 
@@ -277,7 +278,8 @@ def _bridge_pdf(doc_id: int, text: str) -> bytes:
     return make_pdf(pages, compress=doc_id % 14 == 0, tj_arrays=doc_id % 21 == 0,
                     hex_strings=doc_id % 15 == 0, xref_stream=doc_id % 33 == 0,
                     object_streams=doc_id % 22 == 0,
-                    tm_positioning=doc_id % 26 == 0)
+                    tm_positioning=doc_id % 26 == 0,
+                    cid_font=doc_id % 35 == 0)
 
 
 def _bridge_fig_attrs(doc_id: int) -> tuple[tuple[int, int, int, int], str, str]:

@@ -198,6 +198,7 @@ to the discussion with even more words of content.</p>
     pdf_case("pdf_objstm", flate_spec, compress=True, hex_strings=True,
              object_streams=True)
     pdf_case("pdf_tm_matrix", flate_spec, tm_positioning=True)
+    pdf_case("pdf_cid_font", flate_spec, cid_font=True, compress=True)
 
     pdf_case("pdf_table", [PageSpec(texts=[
         TextSpec(72, 160, 12, "Table 1: Latency by configuration and mode"),

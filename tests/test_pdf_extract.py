@@ -214,6 +214,35 @@ def test_corrupt_flate_stream_is_error_channel():
     assert r.markdown == ""  # empty doc, never an exception
 
 
+def test_cid_font_tounicode_roundtrip():
+    """Composite Type0/Identity-H fonts: operands are 2-byte glyph indices
+    with NO plaintext in the file; text is recovered solely through the
+    /ToUnicode CMap — and stays invariant across the other encoding axes."""
+    import itertools
+    spec = [PageSpec(
+        texts=[TextSpec(72, 60, 20, "Invariant Title Words Here"),
+               TextSpec(72, 140, 12, "first paragraph line with (escaped) words"),
+               TextSpec(90, 470, 10, "Figure 1: invariant caption")],
+        images=[ImageSpec(90, 160, 380, 290, "chart")],
+    )]
+    base = extract_pdf(make_pdf(spec))
+    pdf = make_pdf(spec, cid_font=True)
+    assert b"/Identity-H" in pdf and b"beginbfchar" in pdf
+    assert b"Invariant" not in pdf  # really glyph-encoded, not plaintext
+    for compress, tj, objstm, tm in itertools.product([False, True], repeat=4):
+        r = extract_pdf(make_pdf(spec, cid_font=True, compress=compress,
+                                 tj_arrays=tj, object_streams=objstm,
+                                 tm_positioning=tm))
+        assert r.extracted_text == base.extracted_text
+        assert r.markdown == base.markdown
+    # bfrange form decodes too: map a doubled file through a crafted range
+    from qwen_ocr_spark.functions.pdfx import _parse_tounicode
+    cm = _parse_tounicode(
+        b"1 beginbfrange\n<0001> <0003> <0041>\nendbfrange\n"
+        b"1 beginbfchar\n<0010> <00470048>\nendbfchar\n")
+    assert cm[1] == "A" and cm[3] == "C" and cm[0x10] == "GH"
+
+
 def test_pdf15_structure_is_real():
     """The 1.5 variants aren't just parseable by THIS parser: the file
     actually carries an xref stream / object stream (no classic 'xref'
