@@ -25,9 +25,12 @@ packed in **object streams** (``/Type /ObjStm``)).  Object discovery is scan-bas
 ("N 0 obj" + ObjStm unpacking), so classic, 1.5, and broken-xref files —
 i.e. most crawl PDFs' structural variety — all parse identically.  All
 fixtures and synthetic corpus PDFs are produced by ``make_pdf``; the
-parser stays deliberately strict beyond that subset (notably: one font
-per page, CID fonts require a ToUnicode CMap — no glyph-table fallback —
-and no page/text rotation) and
+The parser also handles **/Rotate 0/90/180/270 pages** (everything works
+in display coordinates; text whose net orientation — text matrix composed
+with the page rotation — is not display-horizontal is skipped, never
+misplaced).  The parser stays deliberately strict beyond that subset
+(notably: one font per page, CID fonts require a ToUnicode CMap — no
+glyph-table fallback — and no rotated/skewed text runs) and
 returns empty pages for anything else (error-channel semantics — a
 malformed document never fails the job, mirroring
 /root/reference/src/models/document_job.py:229-239).
@@ -77,8 +80,9 @@ class ImageSpec:
 class PageSpec:
     texts: list[TextSpec] = field(default_factory=list)
     images: list[ImageSpec] = field(default_factory=list)
-    width: float = PAGE_W
-    height: float = PAGE_H
+    width: float = PAGE_W    # DISPLAY dims: what the reader sees after
+    height: float = PAGE_H   # the page's /Rotate is applied
+    rotation: int = 0        # /Rotate 0 or 90 (writer); parser: 0/90/180/270
 
 
 def _esc(s: str) -> str:
@@ -184,6 +188,9 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
     # then Pages node, then Catalog.
     page_entries: list[int] = []
     for spec in pages:
+        rot = spec.rotation % 360
+        if rot not in (0, 90):
+            raise ValueError("make_pdf supports /Rotate 0 or 90")
         img_names: list[tuple[str, int]] = []
         content_lines: list[str] = []
         for i, im in enumerate(spec.images, start=1):
@@ -196,13 +203,17 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
             )
             name = f"Im{i}"
             img_names.append((name, n))
-            # top-left spec → bottom-left placement
-            y_bottom = spec.height - (im.y + im.h)
+            if rot == 90:
+                # display rect → user space under /Rotate 90 (dx = y_user,
+                # dy = x_user): the rect transposes
+                cm = (im.h, im.w, im.y, im.x)
+            else:
+                # top-left spec → bottom-left placement
+                cm = (im.w, im.h, im.x, spec.height - (im.y + im.h))
             content_lines.append(
-                f"q {im.w:.2f} 0 0 {im.h:.2f} {im.x:.2f} {y_bottom:.2f} cm /{name} Do Q"
+                f"q {cm[0]:.2f} 0 0 {cm[1]:.2f} {cm[2]:.2f} {cm[3]:.2f} cm /{name} Do Q"
             )
         for t in spec.texts:
-            y_base = spec.height - t.y - t.size  # baseline ~ size below top of run
             if tj_arrays and " " in t.text:
                 # split at the middle space into a kerned two-element array
                 mid = t.text.find(" ", len(t.text) // 2)
@@ -212,6 +223,18 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
                 shown = f"[{pdf_str(a)} -18 {pdf_str(b)}] TJ"
             else:
                 shown = f"{pdf_str(t.text)} Tj"
+            if rot == 90:
+                # rotated pages pair /Rotate with inverse-rotated text
+                # matrices so text displays horizontally (how scanned/
+                # sideways PDFs are really written): Tm [0 s -s 0 e f]
+                x_user = t.y + t.size  # display dy of the baseline
+                y_user = t.x
+                content_lines.append(
+                    f"BT /F1 1 Tf 0 {t.size:g} {-t.size:g} 0 "
+                    f"{x_user:.2f} {y_user:.2f} Tm {shown} ET"
+                )
+                continue
+            y_base = spec.height - t.y - t.size  # baseline ~ size below top
             if tm_positioning:
                 content_lines.append(
                     f"BT /F1 1 Tf {t.size:g} 0 0 {t.size:g} "
@@ -226,8 +249,11 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
         xobj = ""
         if img_names:
             xobj = " /XObject << " + " ".join(f"/{n} {num} 0 R" for n, num in img_names) + " >>"
+        # MediaBox is USER-space dims: swapped vs the display dims for 90
+        uw, uh = (spec.height, spec.width) if rot == 90 else (spec.width, spec.height)
+        rot_entry = f" /Rotate {rot}" if rot else ""
         page_entries.append(add(
-            f"<< /Type /Page /Parent {{PAGES}} 0 R /MediaBox [0 0 {spec.width:g} {spec.height:g}] "
+            f"<< /Type /Page /Parent {{PAGES}} 0 R /MediaBox [0 0 {uw:g} {uh:g}]{rot_entry} "
             f"/Contents {cnum} 0 R /Resources << /Font << /F1 {font_num} 0 R >>{xobj} >> >>".encode()
         ))
     kids = " ".join(f"{n} 0 R" for n in page_entries)
@@ -592,6 +618,29 @@ def _unescape_pdf_string(s: str) -> str:
     return "".join(out)
 
 
+def _disp_point(x: float, y: float, rot: int, uw: float, uh: float) -> tuple[float, float]:
+    """User-space point (bottom-left origin, user dims uw x uh) → display
+    point (TOP-left origin, post-/Rotate orientation)."""
+    if rot == 90:
+        return (y, x)
+    if rot == 180:
+        return (uw - x, y)
+    if rot == 270:
+        return (uh - y, uw - x)
+    return (x, uh - y)
+
+
+def _disp_dir(vx: float, vy: float, rot: int) -> tuple[float, float]:
+    """User-space direction vector → display direction (y-down)."""
+    if rot == 90:
+        return (vy, vx)
+    if rot == 180:
+        return (-vx, vy)
+    if rot == 270:
+        return (-vy, -vx)
+    return (vx, -vy)
+
+
 def parse_pdf(data: bytes) -> list[PageRuns]:
     """Parse the supported subset into per-page positioned text runs + images.
 
@@ -627,7 +676,14 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
         if body is None:
             continue
         mb = re.search(rb"/MediaBox\s*\[\s*[\d.]+\s+[\d.]+\s+([\d.]+)\s+([\d.]+)\s*\]", body)
-        pw, ph = (float(mb.group(1)), float(mb.group(2))) if mb else (PAGE_W, PAGE_H)
+        uw, uh = (float(mb.group(1)), float(mb.group(2))) if mb else (PAGE_W, PAGE_H)
+        rm_ = re.search(rb"/Rotate\s+(\d+)", body)
+        rot = int(rm_.group(1)) % 360 if rm_ else 0
+        if rot not in (0, 90, 180, 270):
+            rot = 0
+        # everything downstream works in DISPLAY coordinates: the page as
+        # the reader sees it after /Rotate (90/270 swap the dims)
+        pw, ph = (uh, uw) if rot in (90, 270) else (uw, uh)
         carr = re.search(rb"/Contents\s*\[(.*?)\]", body, re.S)
         if carr:
             cnums = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", carr.group(1))]
@@ -650,6 +706,7 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
 
         cmap = _page_cmap(body, objs)
         runs: list[Run] = []
+        import math as _math
         for bt in _BT_RE.finditer(content):
             seg = bt.group(1)
             size = 12.0
@@ -658,20 +715,28 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
                 size = float(fm_.group(1))
             mm = _TM_RE.search(seg)
             if mm:
-                # Tm text matrix [a b c d e f]: position = (e, f), glyph
-                # scale baked into d (the common generator idiom is
-                # "/F1 1 Tf s 0 0 s x y Tm"); rotation (b/c != 0) is out
-                # of subset — d still gives the vertical scale
-                x, y_base = float(mm.group(5)), float(mm.group(6))
-                size *= float(mm.group(4))
+                # Tm text matrix [a b c d e f]: baseline direction (a, b),
+                # glyph up-vector (c, d), origin (e, f) — composes with the
+                # page /Rotate below (the "/F1 1 Tf s 0 0 s x y Tm" and
+                # rotated "[0 s -s 0 e f]" generator idioms both land here)
+                a, b_, c, d, e, f_ = (float(mm.group(k)) for k in range(1, 7))
             else:
                 pm = _TD_RE.search(seg)
-                x, y_base = ((float(pm.group(1)), float(pm.group(2)))
-                             if pm else (0.0, 0.0))
+                e, f_ = ((float(pm.group(1)), float(pm.group(2)))
+                         if pm else (0.0, 0.0))
+                a, b_, c, d = 1.0, 0.0, 0.0, 1.0
+            size *= _math.hypot(c, d)  # vertical glyph extent
+            dx, dy = _disp_point(e, f_, rot, uw, uh)
+            bx, by = _disp_dir(a, b_, rot)
+            # only display-horizontal left-to-right text is in subset: a
+            # run whose NET rotation (text matrix ∘ page rotation) isn't
+            # horizontal is skipped, never misplaced
+            if bx <= 0 or abs(by) > 0.01 * bx:
+                continue
             text = _segment_text(seg, cmap)
             if text.strip():
                 # baseline → top-of-run, matching the generator's convention
-                runs.append(Run(x=x, y=ph - y_base - size, size=size, text=text))
+                runs.append(Run(x=dx, y=dy - size, size=size, text=text))
 
         images: list[tuple[figk.BBox, str, str, bytes]] = []
         for im in _CM_DO_RE.finditer(content):
@@ -679,11 +744,15 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
                 float(im.group(1)), float(im.group(2)),
                 float(im.group(3)), float(im.group(4)), im.group(5),
             )
-            y_top = ph - (yb + h)
+            # display bbox from the user-space rect's transformed corners
+            px1, py1 = _disp_point(x, yb, rot, uw, uh)
+            px2, py2 = _disp_point(x + w, yb + h, rot, uw, uh)
+            x0, x1 = sorted((px1, px2))
+            y0, y1 = sorted((py1, py2))
             s = config.BBOX_SCALE
             bbox = (
-                int(x / pw * s), int(y_top / ph * s),
-                int((x + w) / pw * s), int((y_top + h) / ph * s),
+                int(x0 / pw * s), int(y0 / ph * s),
+                int(x1 / pw * s), int(y1 / ph * s),
             )
             etype = "other"
             xobj = objs.get(xmap.get(name, -1), b"")

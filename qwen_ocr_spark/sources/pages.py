@@ -162,7 +162,11 @@ def _pdf_doc(r: random.Random, doc_id: int, max_pages: int = 14) -> tuple[bytes,
             texts.append(TextSpec(90, y, 10, cap))
             all_text.append(cap)
             y += 30
-        pages.append(PageSpec(texts=texts, images=images))
+        # a slice of docs is "scanned sideways": /Rotate 90 pages whose text
+        # matrices counter-rotate (extraction is display-orientation
+        # invariant, golden-tested)
+        pages.append(PageSpec(texts=texts, images=images,
+                              rotation=90 if doc_id % 19 == 0 else 0))
     # exercise the real-world encodings: most crawl PDFs FlateDecode their
     # streams, many emit TJ kerned arrays, hex string operands, PDF 1.5
     # xref streams, and object-stream packing — extraction is invariant to

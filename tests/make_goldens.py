@@ -199,6 +199,9 @@ to the discussion with even more words of content.</p>
              object_streams=True)
     pdf_case("pdf_tm_matrix", flate_spec, tm_positioning=True)
     pdf_case("pdf_cid_font", flate_spec, cid_font=True, compress=True)
+    rot_spec = [PageSpec(texts=flate_spec[0].texts,
+                         images=flate_spec[0].images, rotation=90)]
+    pdf_case("pdf_rotate90", rot_spec, compress=True)
 
     pdf_case("pdf_table", [PageSpec(texts=[
         TextSpec(72, 160, 12, "Table 1: Latency by configuration and mode"),

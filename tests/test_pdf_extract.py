@@ -320,3 +320,75 @@ def test_stream_bytes_matching_obj_markers_do_not_corrupt():
     # the figure still parses and carries the poisoned payload verbatim
     (bbox, etype, fmt, raw) = pages[0].images[0]
     assert raw == evil and etype == "chart"
+
+
+def test_rotated_page_90_extracts_identically():
+    """/Rotate 90 + inverse-rotated text matrices (how sideways/scanned
+    PDFs are written): display-space extraction — text, reading order,
+    heading levels, figure bboxes, captions — matches the unrotated page."""
+    spec_kw = dict(
+        texts=[TextSpec(72, 60, 20, "Rotated Document Title Here"),
+               *_body_lines(["first paragraph line with several words",
+                             "second line of the same paragraph here"], y0=140),
+               TextSpec(90, 470, 10, "Figure 1: rotated caption")],
+        images=[ImageSpec(90, 160, 380, 290, "chart")],
+    )
+    base = extract_pdf(make_pdf([PageSpec(**spec_kw)]))
+    rot_pdf = make_pdf([PageSpec(**spec_kw, rotation=90)])
+    assert b"/Rotate 90" in rot_pdf
+    got = extract_pdf(rot_pdf)
+    assert got.extracted_text == base.extracted_text
+    assert got.markdown == base.markdown
+    assert [(f.bbox, f.caption, f.element_type) for f in got.figures] == \
+           [(f.bbox, f.caption, f.element_type) for f in base.figures]
+    # the parser reports DISPLAY page dims (swapped vs the MediaBox)
+    pages = parse_pdf(rot_pdf)
+    assert (pages[0].width, pages[0].height) == (612.0, 792.0)
+    assert b"/MediaBox [0 0 792 612]" in rot_pdf
+
+
+def _raw_one_page_pdf(content: bytes, page_extra: str) -> bytes:
+    """Minimal hand-built one-page PDF for parser-only cases."""
+    objs = [
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        f"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 612 792]{page_extra} "
+        f"/Contents 2 0 R /Resources << /Font << /F1 1 0 R >> >> >>".encode(),
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Catalog /Pages 4 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs)+1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs)+1} /Root 5 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def test_rotated_pages_180_and_270():
+    """Parser-side coverage of the remaining rotations: text placed with
+    the matching inverse-rotated Tm lands at the expected display spot."""
+    # 180: display (72, 100, s=12) → user origin (612-72, 100+12), Tm [-s 0 0 -s]
+    c180 = b"BT /F1 1 Tf -12 0 0 -12 540.00 112.00 Tm (alpha beta gamma) Tj ET\n"
+    p = parse_pdf(_raw_one_page_pdf(c180, " /Rotate 180"))[0]
+    assert p.runs[0].text == "alpha beta gamma"
+    assert abs(p.runs[0].x - 72) < 0.5 and abs(p.runs[0].y - 100) < 0.5
+    assert (p.width, p.height) == (612.0, 792.0)
+    # 270: display point (dx, dy): dx = uh - y_user, dy = uw - x_user
+    # → user (612 - 112, 792 - 72) for display (72, 100+12); Tm [0 -s s 0]
+    c270 = b"BT /F1 1 Tf 0 -12 12 0 500.00 720.00 Tm (alpha beta gamma) Tj ET\n"
+    p = parse_pdf(_raw_one_page_pdf(c270, " /Rotate 270"))[0]
+    assert p.runs[0].text == "alpha beta gamma"
+    assert abs(p.runs[0].x - 72) < 0.5 and abs(p.runs[0].y - 100) < 0.5
+    assert (p.width, p.height) == (792.0, 612.0)
+    # a run whose NET orientation is not display-horizontal is skipped,
+    # never misplaced: vertical text on an unrotated page
+    cvert = b"BT /F1 1 Tf 0 12 -12 0 100.00 100.00 Tm (sideways text) Tj ET\n"
+    assert parse_pdf(_raw_one_page_pdf(cvert, ""))[0].runs == []
