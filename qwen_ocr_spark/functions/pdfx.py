@@ -29,8 +29,9 @@ The parser also handles **/Rotate 0/90/180/270 pages** (everything works
 in display coordinates; text whose net orientation — text matrix composed
 with the page rotation — is not display-horizontal is skipped, never
 misplaced).  The parser stays deliberately strict beyond that subset
-(notably: one font per page, CID fonts require a ToUnicode CMap — no
-glyph-table fallback — and no rotated/skewed text runs) and
+(notably: CID fonts require a ToUnicode CMap — no glyph-table fallback —
+and no rotated/skewed individual text runs; multiple fonts per page
+resolve per run via the Tf name) and
 returns empty pages for anything else (error-channel semantics — a
 malformed document never fails the job, mirroring
 /root/reference/src/models/document_job.py:229-239).
@@ -371,7 +372,7 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[[^\]]*?)?/FlateDecode")
 _OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm")
-_TF_RE = re.compile(r"/F\d+\s+([\d.]+)\s+Tf")
+_TF_RE = re.compile(r"/(\w+)\s+([\d.]+)\s+Tf")
 _TD_RE = re.compile(r"([-\d.]+)\s+([-\d.]+)\s+Td")
 _TM_RE = re.compile(
     r"([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+"
@@ -524,23 +525,26 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return cmap
 
 
-def _page_cmap(body: bytes, objs: dict[int, bytes]) -> dict[int, str] | None:
-    """ToUnicode CMap of the page's font, when it is a composite Type0
-    (Identity-H) font — string operands are then 2-byte glyph indices."""
+def _page_cmaps(body: bytes, objs: dict[int, bytes]) -> dict[str, dict[int, str]]:
+    """Per-font-name ToUnicode CMaps for the page's composite Type0
+    (Identity-H) fonts — their string operands are 2-byte glyph indices.
+    Simple fonts are absent from the map (operands stay raw bytes), so a
+    page mixing a body font with a CID symbol/subset font decodes each run
+    by the font its Tf selected."""
     fm = re.search(rb"/Font\s*<<(.*?)>>", body, re.S)
     if not fm:
-        return None
-    fonts = re.findall(rb"/\w+\s+(\d+)\s+0\s+R", fm.group(1))
-    if not fonts:
-        return None
-    fobj = objs.get(int(fonts[0]), b"")
-    if not re.search(rb"/Subtype\s*/Type0", fobj):
-        return None
-    tm_ = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fobj)
-    if not tm_:
-        return None
-    return _parse_tounicode(
-        _stream_bytes(objs.get(int(tm_.group(1)), b""), objs))
+        return {}
+    out: dict[str, dict[int, str]] = {}
+    for name, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", fm.group(1)):
+        fobj = objs.get(int(num), b"")
+        if not re.search(rb"/Subtype\s*/Type0", fobj):
+            continue
+        tm_ = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fobj)
+        if not tm_:
+            continue
+        out[name.decode()] = _parse_tounicode(
+            _stream_bytes(objs.get(int(tm_.group(1)), b""), objs))
+    return out
 
 
 def _cid_decode_hex(hexs: str, cmap: dict[int, str]) -> str:
@@ -704,15 +708,17 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
             for nm, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", xm.group(1)):
                 xmap[nm.decode()] = int(num)
 
-        cmap = _page_cmap(body, objs)
+        cmaps = _page_cmaps(body, objs)
         runs: list[Run] = []
         import math as _math
         for bt in _BT_RE.finditer(content):
             seg = bt.group(1)
             size = 12.0
+            cmap = None
             fm_ = _TF_RE.search(seg)
             if fm_:
-                size = float(fm_.group(1))
+                size = float(fm_.group(2))
+                cmap = cmaps.get(fm_.group(1))
             mm = _TM_RE.search(seg)
             if mm:
                 # Tm text matrix [a b c d e f]: baseline direction (a, b),

@@ -392,3 +392,31 @@ def test_rotated_pages_180_and_270():
     # never misplaced: vertical text on an unrotated page
     cvert = b"BT /F1 1 Tf 0 12 -12 0 100.00 100.00 Tm (sideways text) Tj ET\n"
     assert parse_pdf(_raw_one_page_pdf(cvert, ""))[0].runs == []
+
+
+def test_mixed_simple_and_cid_fonts_per_page():
+    """Two fonts on one page — /F1 simple Type1, /F2 composite Type0 with a
+    ToUnicode CMap: each BT decodes by the font its Tf selected."""
+    cmap_stream = (b"2 beginbfchar\n<0001> <0048>\n<0002> <0049>\nendbfchar\n")
+    content = (b"BT /F1 12 Tf 72.00 600.00 Td (plain words here) Tj ET\n"
+               b"BT /F2 12 Tf 72.00 560.00 Td <00010002> Tj ET\n")
+    objs = [
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length " + str(len(cmap_stream)).encode() + b" >>\nstream\n"
+        + cmap_stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H"
+        b" /ToUnicode 2 0 R >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Page /Parent 6 0 R /MediaBox [0 0 612 792] /Contents 4 0 R"
+        b" /Resources << /Font << /F1 1 0 R /F2 3 0 R >> >> >>",
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+        b"<< /Type /Catalog /Pages 6 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, 1):
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 8 /Root 7 0 R >>\nstartxref\n0\n%%EOF\n"
+    runs = parse_pdf(bytes(out))[0].runs
+    texts = [r.text for r in sorted(runs, key=lambda r: r.y)]
+    assert texts == ["plain words here", "HI"]
