@@ -478,6 +478,12 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis
 # ---------------------------------------------------------------------------
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (dup-line fraction, top
+    word-bigram fraction) — pure count ratios, exactly oracled."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_lang_id(_t(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "pred_lang"
@@ -684,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
+        "repetition_stats": q_repetition_stats,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1260,6 +1267,38 @@ SELECT doc_id, lang,
        {_argmax}
        ELSE '{_langs[-1]}' END AS pred_lang
 FROM s
+"""
+
+    q["repetition_stats"] = """
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(str_split(text, chr(10)),
+                     x -> length(trim(x)) > 0) AS ls
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    CASE WHEN len(ls) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(floor((len(ls) - len(list_distinct(ls))) * 10000.0
+                         / len(ls)) AS BIGINT)
+    END AS dup_line_frac_e4
+  FROM lines
+),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks WHERE len(tk) >= 2
+),
+per AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+top AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n_bigrams
+        FROM per GROUP BY doc_id)
+SELECT base.doc_id, dup_line_frac_e4,
+       CAST(coalesce(floor(max_c * 10000.0 / n_bigrams), 0) AS BIGINT)
+         AS top_bigram_frac_e4
+FROM base LEFT JOIN top ON base.doc_id = top.doc_id
 """
 
     q["token_count"] = """

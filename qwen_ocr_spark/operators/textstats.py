@@ -125,6 +125,58 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document — the standard webtext
+    quality filters for boilerplate/spam (repeated nav lines, keyword
+    stuffing):
+
+    * ``dup_line_frac_e4``   — repeated non-blank lines / lines
+    * ``top_bigram_frac_e4`` — occurrences of the most frequent word
+      bigram / total bigrams
+
+    Both are pure integer-count ratios floored at e4, so the DuckDB oracle
+    hash-matches exactly.  Shapes: the line measure is array functions
+    only (no explode); the bigram measure is one explode + two map-side-
+    combining aggregations keyed by (doc, bigram) then doc — the same
+    shuffle profile as word_shingles, linear in corpus size.  Documents
+    with no non-blank lines / no bigram emit 0 (nothing to repeat)."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    base = df.select(
+        F.col(id_col),
+        F.when(n_lines == 0, F.lit(0)).otherwise(
+            F.floor((n_lines - n_dist) * 10000.0 / n_lines)
+        ).cast("bigint").alias("dup_line_frac_e4"),
+    )
+    toks = F.split(F.trim(t), r"\s+")
+    idx = F.when(F.size(toks) >= 2,
+                 F.sequence(F.lit(0), F.size(toks) - 2)
+                 ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.get(toks, i),
+                                                     F.get(toks, i + 1)))
+    per_bigram = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
+    )
+    top = per_bigram.groupBy(id_col).agg(
+        F.max("c").alias("max_c"), F.sum("c").alias("n_bigrams"))
+    return (
+        base.join(top, on=id_col, how="left")
+        .select(
+            id_col,
+            "dup_line_frac_e4",
+            F.coalesce(
+                F.floor(F.col("max_c") * 10000.0 / F.col("n_bigrams"))
+                 .cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("top_bigram_frac_e4"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalization fingerprint: md5 of lower(collapse_ws(trim(text))) —
     the exact-dup key that survives whitespace/case jitter."""

@@ -84,6 +84,29 @@ def test_lang_id_wider_profiles(spark):
     assert preds == {1: "it", 2: "pt", 3: "fr", 4: "es"}
 
 
+def test_repetition_stats_known_values(spark):
+    """Gopher-style repetition: crafted docs with known dup-line and
+    top-bigram fractions."""
+    rows = [
+        (1, "nav menu\nreal content line one\nnav menu\nreal content line two"),
+        (2, "buy now buy now buy now buy now"),
+        (3, "a perfectly normal sentence with no repetition at all"),
+        (4, ""),
+    ]
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ).collect()}
+    # doc 1: 4 lines, 3 distinct -> 1/4 = 0.25
+    assert got[1]["dup_line_frac_e4"] == 2500
+    # doc 2: bigrams of 8 tokens = 7; "buy now" appears 4 times -> 4/7
+    assert got[2]["top_bigram_frac_e4"] == int(4 * 10000 / 7)
+    # doc 3: no dup lines; 9 tokens -> 8 unique bigrams -> top = 1/8
+    assert got[3]["dup_line_frac_e4"] == 0
+    assert got[3]["top_bigram_frac_e4"] == int(10000 / 8)
+    # doc 4: empty -> both zero, no division error
+    assert (got[4]["dup_line_frac_e4"], got[4]["top_bigram_frac_e4"]) == (0, 0)
+
+
 def test_token_count_edges(docs):
     t = {r["doc_id"]: (r["n_tokens"], r["n_subtokens_est"])
          for r in textstats.with_token_count(docs).collect()}
