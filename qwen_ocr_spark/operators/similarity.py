@@ -293,7 +293,8 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 16,
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_cells: int = 16, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dims: int = 64) -> DataFrame:
+             dims: int = 64, persist: bool = True,
+             storage: list | None = None) -> DataFrame:
     """IVF (inverted-file) ANN: the other classic scale path beside LSH.
 
     Coarse-quantize every vector to its nearest centroid cell (centroids =
@@ -328,6 +329,14 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     w_assign = Window.partitionBy(id_col).orderBy(
         F.desc("cscore_e6"), F.asc("cell_id"))
     ranked = scored.withColumn("crank", F.row_number().over(w_assign))
+    if persist:
+        # the ranked assignment feeds BOTH the inverted file (crank == 1)
+        # and the query probes (crank <= nprobe); without materialization
+        # the N x n_cells centroid scoring runs twice — this IS the "build
+        # the IVF index once" step a production ANN system persists
+        ranked = ranked.persist()
+        if storage is not None:
+            storage.append(ranked)
     assign = ranked.where(F.col("crank") == 1).select(
         F.col(id_col).alias("neighbor_id"), "cell_id",
         *[F.col(f"_v{d}").alias(f"_n{d}") for d in range(dims)])

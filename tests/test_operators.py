@@ -352,6 +352,44 @@ def test_ivf_recall_on_real_table(spark):
     assert recall >= 0.20, f"recall {recall} vs random-probe baseline 0.125"
 
 
+def _plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_dedup_and_ann_plans_are_equi_joins(spark):
+    """Locks the 100 TB shapes: every dedup/ANN candidate join is an
+    equi-join (band key / chunk key / shingle key) — a CartesianProduct or
+    non-broadcast nested loop anywhere means the sub-quadratic claim
+    silently broke.  IVF's centroid assignment is the ONE sanctioned
+    nested loop and must be broadcast-bounded."""
+    import __spark_entry__ as em
+    sf = "/root/testdata/sf0.001"
+    docs = _t_docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    emb = em._emb_double(spark, sf)
+    for name, df in [
+        ("lsh_pairs", dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(dedup.word_shingles(docs)))),
+        ("simhash_pairs", dedup.simhash_near_pairs(docs)),
+        ("ngram_jaccard", dedup.ngram_jaccard_pairs(docs, persist=False)),
+        ("ann_lsh_topk", similarity.lsh_bucketed_topk(emb, [0, 1], k=3,
+                                                      persist=False)),
+        ("embedding_near_dups", similarity.embedding_near_dups(
+            emb, persist=False)),
+    ]:
+        p = _plan(df)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    # IVF: without the index persist, the N x n_cells broadcast assignment
+    # would appear under BOTH consumers of `ranked`; with it the plan reads
+    # the materialized assignment and the one nested loop is broadcast
+    p = _plan(similarity.ivf_topk(emb, [0, 1], k=3, n_cells=4, nprobe=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "InMemoryTableScan" in p  # the persisted IVF assignment
+
+
 def test_timeseries_plans_have_no_nested_loops(spark):
     """Scale contract for the new joins: as-of is window-only (no join at
     all), the range join is a pure EQUI-join on (key, bucket) — a nested
