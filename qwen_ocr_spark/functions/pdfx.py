@@ -367,8 +367,11 @@ class PageRuns:
 _OBJ_START_RE = re.compile(rb"(\d+)\s+0\s+obj")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 # direct length only — "/Length 5 0 R" is an indirect reference, resolved
-# separately against the object table
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+# separately against the object table.  (?!\d) anchors the end of the
+# number BEFORE the indirect-ref lookahead: without it, "/Length 50 0 R"
+# backtracks to match "5" as a direct length, truncating the stream and
+# mis-skipping in _scan_objects for every multi-digit ref object number.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[[^\]]*?)?/FlateDecode")
 _OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm")

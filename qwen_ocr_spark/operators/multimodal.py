@@ -13,9 +13,12 @@ this container, and none needed for these formats):
 * PNG (8-bit gray/RGB/RGBA, all filters), BMP (24-bit), PGM — real
   container parsing + inflate;
 * WAV (PCM) — stdlib ``wave``;
-* anything else (e.g. JPEG — a DCT entropy decoder is out of scope here)
-  raises ``UnsupportedCodec`` inside the row-level error channel — the
-  clearly-marked stub seam where a full codec library plugs in.
+* baseline JPEG (huffman + IDCT + 4:2:0/4:2:2 chroma, restart intervals)
+  — the pure-numpy decoder in ``functions/codecs.py``;
+* anything else (progressive/arithmetic/12-bit JPEG, interlaced/16-bit
+  PNG, formats with no decoder here) raises ``UnsupportedCodec`` inside the row-level
+  error channel — the clearly-marked stub seam where a full codec library
+  plugs in.
 
 media(media_id bigint, kind string, codec string, payload binary,
       meta struct<width int, height int, n_frames int, sample_rate int>)

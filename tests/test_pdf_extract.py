@@ -280,6 +280,25 @@ def test_indirect_length_reference():
     assert parse_pdf(patched)[0].runs[0].text == "alpha beta gamma"
 
 
+def test_indirect_length_multidigit_ref_number():
+    """Regression: '/Length 50 0 R' must NOT backtrack-match '5' as a
+    direct length (the old (?!\\s+0\\s+R) lookahead admitted the digit
+    prefix, truncating the stream and corrupting the object scan)."""
+    base = make_pdf([PageSpec(texts=[TextSpec(72, 100, 12, "alpha beta gamma")])])
+    import re as _re
+    m = _re.search(rb"(\d+) 0 obj\n<<  /Length (\d+) >>", base)
+    assert m
+    ref_num = 50  # deliberately multi-digit with a digit prefix ending in 0
+    patched = base.replace(
+        b"<<  /Length " + m.group(2) + b" >>",
+        b"<<  /Length " + str(ref_num).encode() + b" 0 R >>", 1)
+    insert_at = patched.rfind(b"endobj\n") + len(b"endobj\n")
+    patched = (patched[:insert_at]
+               + f"{ref_num} 0 obj\n{int(m.group(2))}\nendobj\n".encode()
+               + patched[insert_at:])
+    assert parse_pdf(patched)[0].runs[0].text == "alpha beta gamma"
+
+
 def test_hex_string_oddities():
     """Whitespace inside hex strings and an odd digit count (spec: pad a
     trailing zero) both decode."""
