@@ -171,27 +171,43 @@ def reconcile_manifest(spark: SparkSession, out_path: str,
 
 
 def write_figures(out_df: DataFrame, figures_path: str, run_id: str) -> None:
-    """Append the exploded figures side-output (analog of the reference's
+    """Write the exploded figures side-output (analog of the reference's
     images/{page}_fig{n}.png directory, keyed (url, page_number,
     fig_number) — /root/reference/src/models/extracted_image.py:34-43),
-    partitioned by ``run_id`` — an O(this append) blind write that NEVER
-    reads the existing table (round 2 anti-joined against a full read-back
-    of the figures table's urls: O(all committed figures) per commit,
+    partitioned by ``run_id`` — an O(this append) write that NEVER reads
+    the existing table (round 2 anti-joined against a full read-back of
+    the figures table's urls: O(all committed figures) per commit,
     unbounded growth at 100 TB).
 
-    Exactly-once table contents move to the READ side (``read_figures``):
-    figures are written BEFORE the output commit that drives resume, so a
-    crash between the two leaves this run's figures as an orphaned run_id
-    directory — invisible to readers because its run_id never reaches the
-    manifest — and the document's re-extraction under a fresh run_id
-    provides the single visible copy.  Orphaned directories are physical
-    garbage only; a janitor can delete figure run dirs absent from the
-    manifest once they age past any in-flight run."""
+    The write is a **dynamic partition overwrite** of only the run_id
+    partitions present in the batch (empty batch = no-op; other runs'
+    directories untouched — verified semantics, cost identical to append).
+    This makes the write idempotent PER run_id, which streaming requires:
+    its run_ids are deterministic per micro-batch (stream-{token}-{batch}),
+    so a replay after a crash between the figures write and the output
+    commit re-delivers the SAME run_id — an append would leave two
+    byte-identical copies visible once the manifest commits that run_id,
+    and a crash mid-figures-write could leave a partial set.  Overwrite
+    replaces the attempt directory wholesale: last replay wins with the
+    complete, single copy.  Batch runs mint fresh uuids, for which
+    overwrite-by-partition degenerates to the old blind append.
+
+    Exactly-once table contents still move to the READ side
+    (``read_figures``): figures are written BEFORE the output commit that
+    drives resume, so a crash between the two leaves this run's figures as
+    an orphaned run_id directory — invisible to readers because its run_id
+    never reaches the manifest — and the replay (same run_id, streaming)
+    or re-extraction (fresh run_id, batch) provides the single visible
+    copy.  Orphaned batch directories are physical garbage only; a janitor
+    can delete figure run dirs absent from the manifest once they age past
+    any in-flight run."""
     from qwen_ocr_spark.operators.extract import figures_table
     (
         figures_table(out_df)
         .withColumn("run_id", F.lit(run_id))
-        .write.mode("append").partitionBy("run_id").parquet(figures_path)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id").parquet(figures_path)
     )
 
 

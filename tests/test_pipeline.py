@@ -198,6 +198,42 @@ def test_write_figures_run_scoped_and_crash_invisible(spark, pages, out, tmp_pat
     assert read_figures(spark, str(tmp_path / "nope"), man_path) is None
 
 
+def test_write_figures_replay_same_run_id_exactly_once(spark, out, tmp_path):
+    """Streaming replays re-deliver the SAME deterministic run_id
+    (stream-{token}-{batch}); the figures write must be idempotent per
+    run_id (dynamic partition overwrite), or a crash between the figures
+    write and the output commit would surface TWO byte-identical copies
+    once the manifest commits that run_id (ADVICE r3)."""
+    from qwen_ocr_spark.sinks.manifest import read_figures, write_figures
+    figs_path = str(tmp_path / "figs")
+    out_path = str(tmp_path / "out")
+    man_path = str(tmp_path / "manifest")
+    rid = "stream-tok-0"
+
+    # attempt 1: a PARTIAL figures write (crash mid-write simulated by
+    # writing a subset), then the replay writes the full set under the
+    # same run_id, then output+manifest commit
+    partial = out.limit(3)
+    write_figures(partial, figs_path, rid)
+    write_figures(out, figs_path, rid)  # replay: full attempt
+    write_output(out, out_path, man_path, rid, replayable=True)
+
+    vis = read_figures(spark, figs_path, man_path)
+    keys = vis.select("url", "page_number", "fig_number")
+    n = keys.count()
+    assert n == keys.distinct().count()  # single copy per figure
+
+    # a further full replay after the commit changes nothing
+    write_figures(out, figs_path, rid)
+    write_output(out, out_path, man_path, rid, replayable=True)
+    assert read_figures(spark, figs_path, man_path).count() == n
+
+    # an EMPTY replayed batch (resume drained it) must be a no-op, not a
+    # truncate of the run directory
+    write_figures(out.limit(0), figs_path, rid)
+    assert read_figures(spark, figs_path, man_path).count() == n
+
+
 def test_reconcile_manifest_backfills_crash_window(spark, pages, tmp_path):
     """A crash between output commit and manifest append must not undercount
     manifest totals forever: startup reconciliation backfills the orphaned
