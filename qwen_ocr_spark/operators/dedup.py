@@ -167,20 +167,39 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
 
     Algorithm: iterative min-label propagation — label(v) starts at v and
     each round takes the min over neighbors' labels; converges in
-    O(component diameter) rounds, checked via the monotonically decreasing
-    global label sum (one cheap agg per round, no row-comparison join).
-    Near-dup clusters are shallow (dozens of docs, diameter ~ a few hops),
-    so this beats the constant-factor overhead of the alternating
-    large-star/small-star construction that would be preferred if
-    components could span millions of rows.  Each round is one int-pair
-    equi-join + min-aggregate — the only state shuffled is (node, label).
-    Rounds materialize via persist so lineage never recomputes; previous
-    rounds unpersist eagerly."""
+    O(component diameter) rounds.  The fixpoint check counts CHANGED
+    labels per round (a bigint row count — a sum over the labels
+    themselves could overflow and THROW under this repo's default ANSI
+    mode at large-id/corpus scale).  Near-dup clusters are shallow
+    (dozens of docs, diameter ~ a few hops), so this beats the
+    constant-factor overhead of the alternating large-star/small-star
+    construction that would be preferred if components could span
+    millions of rows.  Each round is one int-pair equi-join +
+    min-aggregate — the only state shuffled is (node, label).
+
+    If ``max_iter`` rounds pass without reaching the fixpoint (an
+    adversarially long chain — outside the documented shallow regime), a
+    ``RuntimeWarning`` fires rather than silently returning a
+    partially-merged labeling; callers can raise ``max_iter`` or switch
+    to a large-star/small-star implementation for such graphs.
+
+    Each round materializes via ``localCheckpoint(eager=True)``, not
+    persist: the logical plan references the previous round's labels
+    TWICE (neighbor min + the left join), so under plain persist the
+    ANALYZED plan doubles per round and the driver OOMs re-walking it
+    past ~25 rounds even though execution is cached.  The checkpoint
+    truncates lineage to one level per round; the pinned label RDDs are
+    tiny (two ints per node) and freed by GC + ContextCleaner after the
+    call (the streaming-accumulation caveat in sinks/manifest.py does
+    not apply to a bounded batch loop)."""
+    import warnings
+
     e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
     labels = (edges.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node")).persist())
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.select(F.col("node").alias("b"),
@@ -192,19 +211,28 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
             .select(labels["node"],
                     F.least(labels["label"],
                             F.coalesce(F.col("min_nbr"), labels["label"])
-                            ).alias("label"))
-            .persist()
+                            ).alias("label"),
+                    (F.col("min_nbr") < labels["label"])
+                    .alias("_changed"))
+            .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
+        # one scalar per round: how many labels still moved (0 = fixpoint).
+        # A row count cannot overflow — a sum over bigint labels could
+        # THROW under this repo's default ANSI mode at large-id scale.
+        n_changed = new_labels.where("_changed").count()
         labels = new_labels
-        if new_sum == prev_sum:  # min-labels can only decrease: fixpoint
+        if n_changed == 0:
+            converged = True
             break
-        prev_sum = new_sum
     edges.unpersist()
-    out = labels.select(F.col("node"), F.col("label").alias("group_id"))
-    labels.unpersist()
-    return out
+    if not converged:
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before the "
+            "fixpoint: the returned grouping may be partially merged "
+            "(component diameter exceeds max_iter). Raise max_iter or use "
+            "a large-star/small-star variant for deep components.",
+            RuntimeWarning, stacklevel=2)
+    return labels.select(F.col("node"), F.col("label").alias("group_id"))
 
 
 def duplicate_groups(df: DataFrame, id_col: str = "doc_id",

@@ -261,6 +261,30 @@ def test_connected_components_chains_and_islands(spark):
     assert 9 not in by_id  # no near-dup partner → not clustered
 
 
+def test_connected_components_nonconvergence_warns(spark):
+    """An adversarial deep chain (diameter > max_iter) must NOT silently
+    return a partially-merged labeling: a RuntimeWarning fires (ADVICE r3),
+    and the same graph converges cleanly when max_iter covers the diameter.
+    Min-label propagation moves the min one hop per round, so a 30-node
+    descending-id path needs 29 rounds."""
+    import warnings
+
+    chain = [(i + 1, i) for i in range(29)]  # path 29-28-...-1-0, min at one end
+    pairs = spark.createDataFrame(pd.DataFrame(chain, columns=["id_a", "id_b"]))
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        partial = dedup.connected_components(pairs, max_iter=5)
+    # partial is partially merged: not every node reached label 0 yet
+    got = {r["node"]: r["group_id"] for r in partial.collect()}
+    assert got[29] != 0
+    # enough rounds: converges with no warning, all nodes labeled 0
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        full = dedup.connected_components(pairs, max_iter=40)
+        done = {r["node"]: r["group_id"] for r in full.collect()}
+    assert not [w for w in caught if "max_iter" in str(w.message)]
+    assert set(done.values()) == {0}
+
+
 def test_incremental_dedup_across_runs(spark, tmp_path):
     """Cross-run exact dedup: a later batch never re-admits text an earlier
     batch committed; within-batch dups collapse; re-running a batch admits
