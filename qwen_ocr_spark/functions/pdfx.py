@@ -16,9 +16,14 @@ parser accepts (PDF 1.4/1.5, Type1 Helvetica, absolute ``Td`` or unrotated
 ``TJ`` kerned arrays with
 literal ``(...)`` or **hex ``<...>``** operands, simple or **composite
 Type0/Identity-H fonts** (2-byte glyph indices recovered through the
-``/ToUnicode`` CMap — the word-processor-PDF layout), image XObjects
-placed via ``q w 0 0 h x y cm /ImN Do Q``, one content stream or a
-``/Contents`` array per page, streams raw or **FlateDecode-compressed**,
+``/ToUnicode`` CMap — the word-processor-PDF layout), simple fonts with
+an **/Encoding /Differences byte remap** (AGL + uniXXXX glyph names —
+the legacy/LaTeX subset-font layout), image XObjects
+placed via ``q w 0 0 h x y cm /ImN Do Q`` or **inline ``BI/ID/EI``
+images**, one content stream or a
+``/Contents`` array per page, streams raw, **FlateDecode-** or
+**LZWDecode-compressed**, optionally behind **PNG row predictors**
+(``/DecodeParms /Predictor >= 10``),
 ``/Length`` direct or an **indirect reference**, cross-references as a
 classic table or a PDF 1.5 **xref stream**, non-stream objects loose or
 packed in **object streams** (``/Type /ObjStm``)).  Object discovery is scan-based
@@ -34,7 +39,9 @@ and no rotated/skewed individual text runs; multiple fonts per page
 resolve per run via the Tf name) and
 returns empty pages for anything else (error-channel semantics — a
 malformed document never fails the job, mirroring
-/root/reference/src/models/document_job.py:229-239).
+/root/reference/src/models/document_job.py:229-239).  Documents carrying
+an ``/Encrypt`` dictionary raise the typed ``EncryptedPdfError`` so the
+error channel records the reason explicitly.
 
 Coordinates: PDF user space is bottom-left origin; everything is converted
 to TOP-LEFT origin immediately at parse so downstream (bbox 0-1000
@@ -93,7 +100,10 @@ def _esc(s: str) -> str:
 def make_pdf(pages: list[PageSpec], compress: bool = False,
              tj_arrays: bool = False, hex_strings: bool = False,
              xref_stream: bool = False, object_streams: bool = False,
-             tm_positioning: bool = False, cid_font: bool = False) -> bytes:
+             tm_positioning: bool = False, cid_font: bool = False,
+             differences_encoding: bool = False, lzw: bool = False,
+             png_predictor: bool = False,
+             inline_images: bool = False) -> bytes:
     """Serialize PageSpecs into a well-formed PDF file.
 
     Encoding knobs, each matching a real-crawl prevalence axis and each
@@ -121,9 +131,30 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
       entries over the document's subset charset, glyph ids assigned by
       subset order exactly like real font subsetters) — the layout
       LibreOffice/Chrome-print/word-processor PDFs ship.
+    * ``differences_encoding`` — a fully-remapped simple font: every char
+      gets a custom single-byte code (assigned in charset order from
+      0x21) declared by an indirect ``/Encoding`` object's
+      ``/Differences`` array of AGL glyph names (uniXXXX for anything
+      beyond Latin-1) — the classic legacy/LaTeX subset-font layout;
+      string operands become hex strings of the remapped bytes.
+      Mutually exclusive with ``cid_font``; at most 222 distinct chars.
+    * ``lzw`` — streams are LZWDecode- instead of FlateDecode-compressed
+      (the pre-1996 filter still common in old crawl PDFs); overrides
+      ``compress`` for content/image/CMap streams.
+    * ``png_predictor`` — content/image/CMap streams additionally run
+      through the PNG Up row predictor (``/DecodeParms << /Predictor 12
+      /Columns 64 >>``) before the compression filter (implies
+      ``compress`` when neither ``compress`` nor ``lzw`` is set).
+    * ``inline_images`` — images are emitted as inline ``BI … ID … EI``
+      operators inside the content stream instead of image XObjects (the
+      small-image form many generators use).
     """
     if object_streams:
         xref_stream = True
+    if cid_font and differences_encoding:
+        raise ValueError("cid_font and differences_encoding are exclusive")
+    if png_predictor and not (compress or lzw):
+        compress = True
     objs: list[bytes] = []   # 1-indexed by position+1
     is_stream: list[bool] = []
 
@@ -133,23 +164,40 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
         return len(objs)
 
     gid_of: dict[str, int] = {}
-    if cid_font:
+    code_of: dict[str, int] = {}
+    charset: list[str] = []
+    if cid_font or differences_encoding:
         charset = sorted(set("".join(
             t.text for spec in pages for t in spec.texts)))
+    if cid_font:
         gid_of = {ch: i + 1 for i, ch in enumerate(charset)}  # 0 = .notdef
+    if differences_encoding:
+        if len(charset) > 222:  # codes 0x21..0xFF
+            raise ValueError(
+                "charset too large for a single-byte /Differences font")
+        code_of = {ch: i + 0x21 for i, ch in enumerate(charset)}
 
     def pdf_str(s: str) -> str:
         if cid_font:
             return "<" + "".join(f"{gid_of[c]:04X}" for c in s) + ">"
+        if differences_encoding:
+            return "<" + bytes(code_of[c] for c in s).hex().upper() + ">"
         if hex_strings:
             return "<" + s.encode("latin-1", "replace").hex().upper() + ">"
         return f"({_esc(s)})"
 
     def stream_obj(dict_prefix: str, payload: bytes) -> bytes:
         filt = ""
-        if compress:
+        parms = ""
+        if png_predictor:
+            payload = _png_predict_up(payload, 64)
+            parms = " /DecodeParms << /Predictor 12 /Columns 64 >>"
+        if lzw:
+            payload = _lzw_encode(payload)
+            filt = " /Filter /LZWDecode" + parms
+        elif compress:
             payload = zlib.compress(payload)
-            filt = " /Filter /FlateDecode"
+            filt = " /Filter /FlateDecode" + parms
         return (
             f"<< {dict_prefix}{filt} /Length {len(payload)} >>\nstream\n".encode()
             + payload + b"\nendstream"
@@ -178,6 +226,17 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
             f"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica "
             f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
             f"/ToUnicode {cmap_num} 0 R >>".encode())
+    elif differences_encoding:
+        # indirect /Encoding object (the shared-encoding layout real
+        # writers emit); every code remapped so decoding MUST go through
+        # the /Differences map
+        names = " ".join("/" + _glyph_name(ch) for ch in charset)
+        enc_num = add(
+            f"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            f"/Differences [ 33 {names} ] >>".encode())
+        font_num = add(
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            f"/Encoding {enc_num} 0 R >>".encode())
     else:
         font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
@@ -197,13 +256,6 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
         for i, im in enumerate(spec.images, start=1):
             pixel_data = b"\x80" * 64
             etype = im.element_type if im.element_type in config.ELEMENT_TYPES else "other"
-            n = add_stream(
-                "/Type /XObject /Subtype /Image /Width 8 /Height 8 "
-                "/ColorSpace /DeviceGray /BitsPerComponent 8 "
-                f"/ElementType /{etype}", pixel_data,
-            )
-            name = f"Im{i}"
-            img_names.append((name, n))
             if rot == 90:
                 # display rect → user space under /Rotate 90 (dx = y_user,
                 # dy = x_user): the rect transposes
@@ -211,6 +263,22 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
             else:
                 # top-left spec → bottom-left placement
                 cm = (im.w, im.h, im.x, spec.height - (im.y + im.h))
+            if inline_images:
+                # BI … ID <raw samples> EI inside the content stream (the
+                # small-image form; data length = W*H for 8-bit gray)
+                content_lines.append(
+                    f"q {cm[0]:.2f} 0 0 {cm[1]:.2f} {cm[2]:.2f} {cm[3]:.2f} cm "
+                    f"BI /W 8 /H 8 /CS /G /BPC 8 /ElementType /{etype} ID\n"
+                    + pixel_data.decode("latin-1") + "\nEI Q"
+                )
+                continue
+            n = add_stream(
+                "/Type /XObject /Subtype /Image /Width 8 /Height 8 "
+                "/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                f"/ElementType /{etype}", pixel_data,
+            )
+            name = f"Im{i}"
+            img_names.append((name, n))
             content_lines.append(
                 f"q {cm[0]:.2f} 0 0 {cm[1]:.2f} {cm[2]:.2f} {cm[3]:.2f} cm /{name} Do Q"
             )
@@ -245,7 +313,11 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
                 content_lines.append(
                     f"BT /F1 {t.size:g} Tf {t.x:.2f} {y_base:.2f} Td {shown} ET"
                 )
-        content = ("\n".join(content_lines) + "\n").encode()
+        # inline-image payloads are raw bytes living INSIDE the content
+        # stream: latin-1 keeps them byte-exact (text operands are ASCII
+        # on that path — hex-encoded or plain words)
+        content = ("\n".join(content_lines) + "\n").encode(
+            "latin-1" if inline_images else "utf-8", "replace")
         cnum = add_stream("", content)
         xobj = ""
         if img_names:
@@ -374,6 +446,8 @@ _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[[^\]]*?)?/FlateDecode")
+_LZW_RE = re.compile(rb"/Filter\s*(?:\[[^\]]*?)?/LZWDecode")
+_DECODEPARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*<<(.*?)>>", re.S)
 _OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm")
 _TF_RE = re.compile(r"/(\w+)\s+([\d.]+)\s+Tf")
 _TD_RE = re.compile(r"([-\d.]+)\s+([-\d.]+)\s+Td")
@@ -431,6 +505,149 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF/TIFF LZWDecode (EarlyChange 1, the default every real writer
+    uses): MSB-first variable-width codes 9→12 bits, 256 = clear table,
+    257 = end of data.  The code width grows one entry EARLY (when the
+    next entry to be added would need it).  Malformed input returns what
+    decoded so far — error-channel semantics, same as a bad inflate."""
+    out = bytearray()
+    prev: bytes | None = None
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, bitbuf, nbits = 9, 0, 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return bytes(out)
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return bytes(out)
+            out += entry
+            prev = entry
+            # EarlyChange: widen when the NEXT added entry would overflow
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """LZWDecode-compatible encoder (generator side, EarlyChange 1)."""
+    out = bytearray()
+    bitbuf, nbits = 0, 0
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    w = b""
+    for i in range(len(data)):
+        c = data[i:i + 1]
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        if next_code >= (1 << 12) - 1:
+            emit(256)  # table full: clear and restart both sides
+            table = {bytes([i_]): i_ for i_ in range(256)}
+            next_code, width = 258, 9
+        else:
+            table[w + c] = next_code
+            next_code += 1
+            # the encoder's table runs one entry AHEAD of the decoder's
+            # (the decoder learns entry j while processing code j+1), so
+            # widening here exactly when next_code reaches 1<<width is the
+            # decoder's EarlyChange widen (len(table)+1 >= 1<<width)
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """Reverse PNG row predictors (/Predictor >= 10): each row is a filter
+    tag byte + ``columns*colors*bpc/8`` filtered bytes; filters 0-4
+    (None/Sub/Up/Average/Paeth) are reversed against the prior row.  Used
+    post-inflate on FlateDecode/LZWDecode streams carrying /DecodeParms."""
+    from qwen_ocr_spark.functions.codecs import _paeth
+
+    rowlen = max(1, (columns * colors * bpc + 7) // 8)
+    bpp = max(1, colors * bpc // 8)
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 <= len(data):
+        tag = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if tag == 1:      # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:    # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:    # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:    # Paeth
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif tag != 0:
+            return bytes(out)  # unknown tag: stop, keep what decoded
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _png_predict_up(data: bytes, columns: int) -> bytes:
+    """Generator side: apply the PNG Up filter (tag 2) row-wise.  The
+    payload is padded with spaces to a whole row — harmless trailing
+    whitespace in a content stream."""
+    if len(data) % columns:
+        data += b" " * (columns - len(data) % columns)
+    out = bytearray()
+    prev = bytes(columns)
+    for at in range(0, len(data), columns):
+        row = data[at:at + columns]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+        prev = row
+    return bytes(out)
+
+
 def _stream_bytes(obj: bytes, objs: dict[int, bytes] | None = None) -> bytes:
     """Stream payload of one object body, FlateDecode-inflated when tagged.
 
@@ -460,11 +677,29 @@ def _stream_bytes(obj: bytes, objs: dict[int, bytes] | None = None) -> bytes:
     else:
         end = obj.find(b"endstream", start)
         raw = obj[start:end].rstrip(b"\r\n") if end != -1 else b""
-    if _FLATE_RE.search(head):
+    filtered = False
+    if _LZW_RE.search(head):
+        raw = _lzw_decode(raw)
+        filtered = True
+    elif _FLATE_RE.search(head):
         try:
             raw = zlib.decompress(raw)
         except zlib.error:
             return b""
+        filtered = True
+    if filtered:
+        pm = _DECODEPARMS_RE.search(head)
+        if pm:
+            def iparam(name: bytes, default: int) -> int:
+                m_ = re.search(rb"/" + name + rb"\s+(\d+)", pm.group(1))
+                return int(m_.group(1)) if m_ else default
+            pred = iparam(b"Predictor", 1)
+            if pred >= 10:  # PNG row predictors
+                raw = _png_unpredict(raw, iparam(b"Columns", 1),
+                                     iparam(b"Colors", 1),
+                                     iparam(b"BitsPerComponent", 8))
+            elif pred != 1:
+                return b""  # TIFF predictor 2: outside the subset
     return raw
 
 
@@ -494,6 +729,94 @@ def _unpack_object_streams(objs: dict[int, bytes]) -> None:
         for i, (onum, off) in enumerate(pairs):
             end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
             objs.setdefault(onum, data[first + off:first + end])
+
+
+class EncryptedPdfError(ValueError):
+    """Typed error for documents carrying an /Encrypt dictionary: their
+    content streams are RC4/AES-encrypted and this parser (deliberately)
+    ships no decryption, so the document routes to the error channel with
+    an explicit reason instead of whatever an opaque byte-scan happens to
+    produce.  The reference accepted encrypted-but-empty-password PDFs
+    via poppler (/root/reference/src/pdf_handler.py:44-55)."""
+
+
+# Adobe Glyph List subset: ASCII + Latin-1 supplement — the names real
+# simple-font /Differences arrays use (public AGL data).  Anything else
+# round-trips through the uniXXXX / uXXXXXX name forms.
+_AGL_PAIRS = (
+    "space exclam quotedbl numbersign dollar percent ampersand quotesingle "
+    "parenleft parenright asterisk plus comma hyphen period slash zero one "
+    "two three four five six seven eight nine colon semicolon less equal "
+    "greater question at"
+).split()
+_AGL_PAIRS_HI = (
+    "bracketleft backslash bracketright asciicircum underscore grave"
+).split()
+_AGL_PAIRS_TAIL = "braceleft bar braceright asciitilde".split()
+_AGL_LATIN1 = (
+    "exclamdown cent sterling currency yen brokenbar section dieresis "
+    "copyright ordfeminine guillemotleft logicalnot hyphen registered "
+    "macron degree plusminus twosuperior threesuperior acute mu paragraph "
+    "periodcentered cedilla onesuperior ordmasculine guillemotright "
+    "onequarter onehalf threequarters questiondown Agrave Aacute "
+    "Acircumflex Atilde Adieresis Aring AE Ccedilla Egrave Eacute "
+    "Ecircumflex Edieresis Igrave Iacute Icircumflex Idieresis Eth Ntilde "
+    "Ograve Oacute Ocircumflex Otilde Odieresis multiply Oslash Ugrave "
+    "Uacute Ucircumflex Udieresis Yacute Thorn germandbls agrave aacute "
+    "acircumflex atilde adieresis aring ae ccedilla egrave eacute "
+    "ecircumflex edieresis igrave iacute icircumflex idieresis eth ntilde "
+    "ograve oacute ocircumflex otilde odieresis divide oslash ugrave "
+    "uacute ucircumflex udieresis yacute thorn ydieresis"
+).split()
+
+
+def _build_glyph_table() -> dict[str, str]:
+    t: dict[str, str] = {}
+    for i, name in enumerate(_AGL_PAIRS):          # 0x20-0x40
+        t[name] = chr(0x20 + i)
+    for c in range(0x41, 0x5B):                    # A-Z: name is the letter
+        t[chr(c)] = chr(c)
+    for i, name in enumerate(_AGL_PAIRS_HI):       # 0x5B-0x60
+        t[name] = chr(0x5B + i)
+    for c in range(0x61, 0x7B):                    # a-z
+        t[chr(c)] = chr(c)
+    for i, name in enumerate(_AGL_PAIRS_TAIL):     # 0x7B-0x7E
+        t[name] = chr(0x7B + i)
+    for i, name in enumerate(_AGL_LATIN1):         # 0xA1-0xFF
+        # 0xAD (soft hyphen) shares the AGL name 'hyphen' with 0x2D; keep
+        # the first (ASCII) binding for decode
+        t.setdefault(name, chr(0xA1 + i))
+    return t
+
+
+_GLYPH_TO_CHAR = _build_glyph_table()
+_CHAR_TO_GLYPH = {}
+for _n, _c in _GLYPH_TO_CHAR.items():
+    _CHAR_TO_GLYPH.setdefault(_c, _n)
+
+
+def _glyph_name(ch: str) -> str:
+    """Char → glyph name the generator writes into /Differences."""
+    n = _CHAR_TO_GLYPH.get(ch)
+    if n is not None:
+        return n
+    cp = ord(ch)
+    return f"uni{cp:04X}" if cp <= 0xFFFF else f"u{cp:06X}"
+
+
+def _glyph_char(name: str) -> str:
+    """Glyph name (from a /Differences array) → char; '' if unknown."""
+    c = _GLYPH_TO_CHAR.get(name)
+    if c is not None:
+        return c
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else ""
+    return ""
 
 
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
@@ -528,25 +851,64 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return cmap
 
 
-def _page_cmaps(body: bytes, objs: dict[int, bytes]) -> dict[str, dict[int, str]]:
-    """Per-font-name ToUnicode CMaps for the page's composite Type0
-    (Identity-H) fonts — their string operands are 2-byte glyph indices.
-    Simple fonts are absent from the map (operands stay raw bytes), so a
-    page mixing a body font with a CID symbol/subset font decodes each run
-    by the font its Tf selected."""
+def _parse_differences(enc_body: bytes) -> dict[int, str] | None:
+    """/Encoding dict body → {code: char} from its /Differences array
+    (``[ 33 /A /eacute 200 /uni6A21 … ]``: an integer sets the next code,
+    each name assigns code++); None when there is no /Differences."""
+    dm = re.search(rb"/Differences\s*\[(.*?)\]", enc_body, re.S)
+    if not dm:
+        return None
+    bytemap: dict[int, str] = {}
+    code = 0
+    for num, name in re.findall(rb"(\d+)|/([A-Za-z0-9._]+)", dm.group(1)):
+        if num:
+            code = int(num)
+        else:
+            if 0 <= code <= 0xFF:
+                bytemap[code] = _glyph_char(name.decode("latin-1"))
+            code += 1
+    return bytemap
+
+
+def _page_cmaps(body: bytes, objs: dict[int, bytes]
+                ) -> dict[str, tuple[str, dict[int, str]]]:
+    """Per-font-name decode maps, tagged by kind:
+
+    * ``("cid", cmap)`` — composite Type0 (Identity-H) fonts: string
+      operands are 2-byte glyph indices through the /ToUnicode CMap;
+    * ``("bytes", bytemap)`` — simple fonts carrying an ``/Encoding``
+      dict (inline or indirect) with ``/Differences``: single-byte codes
+      remapped through AGL glyph names (the legacy/LaTeX subset-font
+      layout poppler accepted for the reference,
+      /root/reference/src/pdf_handler.py:44-55).
+
+    Plain simple fonts are absent from the map (operands stay raw
+    latin-1 bytes), so a page mixing forms decodes each run by the font
+    its Tf selected."""
     fm = re.search(rb"/Font\s*<<(.*?)>>", body, re.S)
     if not fm:
         return {}
-    out: dict[str, dict[int, str]] = {}
+    out: dict[str, tuple[str, dict[int, str]]] = {}
     for name, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", fm.group(1)):
         fobj = objs.get(int(num), b"")
-        if not re.search(rb"/Subtype\s*/Type0", fobj):
+        if re.search(rb"/Subtype\s*/Type0", fobj):
+            tm_ = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fobj)
+            if not tm_:
+                continue
+            out[name.decode()] = ("cid", _parse_tounicode(
+                _stream_bytes(objs.get(int(tm_.group(1)), b""), objs)))
             continue
-        tm_ = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fobj)
-        if not tm_:
-            continue
-        out[name.decode()] = _parse_tounicode(
-            _stream_bytes(objs.get(int(tm_.group(1)), b""), objs))
+        # simple font: /Encoding may be an inline dict or an indirect ref
+        em_ = re.search(rb"/Encoding\s*<<(.*?)>>", fobj, re.S)
+        enc_body = em_.group(1) if em_ else None
+        if enc_body is None:
+            rm_ = re.search(rb"/Encoding\s+(\d+)\s+0\s+R", fobj)
+            if rm_:
+                enc_body = objs.get(int(rm_.group(1)), b"")
+        if enc_body:
+            bytemap = _parse_differences(enc_body)
+            if bytemap:
+                out[name.decode()] = ("bytes", bytemap)
     return out
 
 
@@ -575,18 +937,38 @@ def _hex_str(h: str) -> str:
         return ""
 
 
-def _segment_text(seg: str, cmap: dict[int, str] | None = None) -> str:
+def _byte_decode(s: str, bytemap: dict[int, str]) -> str:
+    """Simple-font /Differences decode: each latin-1 code unit maps
+    through the byte map; unmapped codes keep their latin-1 meaning (the
+    /BaseEncoding fallback)."""
+    return "".join(bytemap.get(ord(c), c) for c in s)
+
+
+def _segment_text(seg: str,
+                  decode: tuple[str, dict[int, str]] | None = None) -> str:
     """Concatenate shown text of Tj and TJ operators in content order
     (TJ kern adjustments are layout-only and dropped); string operands may
-    be literal ``(...)`` or hex ``<...>`` in either operator.  With a
-    Type0 font's ToUnicode ``cmap``, operands are 2-byte glyph indices
-    mapped through it instead of raw character bytes."""
+    be literal ``(...)`` or hex ``<...>`` in either operator.  ``decode``
+    is the font's tagged map from ``_page_cmaps``: ``("cid", m)`` treats
+    operands as 2-byte glyph indices through the ToUnicode CMap;
+    ``("bytes", m)`` maps single-byte codes through /Differences; None
+    decodes raw latin-1 bytes."""
+    kind, dmap = decode if decode is not None else ("", {})
+
     def lit(s: str) -> str:
         s = _unescape_pdf_string(s)
-        return _cid_decode_str(s, cmap) if cmap is not None else s
+        if kind == "cid":
+            return _cid_decode_str(s, dmap)
+        if kind == "bytes":
+            return _byte_decode(s, dmap)
+        return s
 
     def hx(h: str) -> str:
-        return _cid_decode_hex(h, cmap) if cmap is not None else _hex_str(h)
+        if kind == "cid":
+            return _cid_decode_hex(h, dmap)
+        if kind == "bytes":
+            return _byte_decode(_hex_str(h), dmap)
+        return _hex_str(h)
 
     parts: list[str] = []
     for m in _TEXT_OP_RE.finditer(seg):
@@ -623,6 +1005,90 @@ def _unescape_pdf_string(s: str) -> str:
             out.append(c)
             i += 1
     return "".join(out)
+
+
+_INLINE_IMG_RE = re.compile(
+    r"q\s+([-\d.]+)\s+[-\d.]+\s+[-\d.]+\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)"
+    r"\s+cm\s*BI\s((?:/\w+\s+\S+\s*)*?)ID(?:\r?\n| )", re.S)
+
+
+def _extract_inline_images(content: str) -> tuple[
+        str, list[tuple[float, float, float, float, str, int, int, bytes]]]:
+    """Pull ``q … cm BI <params> ID <data> EI`` inline images out of a
+    content-stream string (latin-1, so slicing is byte-exact) BEFORE the
+    text/image regex scans run — the raw sample bytes could otherwise
+    alias BT/ET or cm/Do tokens.  Returns the cleaned content and
+    ``(w, h, x, yb, etype, wpx, hpx, payload)`` per image (cm operands in
+    user space, exactly what the XObject path consumes).
+
+    Data length: /L(ength) when present, else W*H*BPC/8 samples for the
+    uncompressed 8-bit gray subset, else a scan to the next whitespace-
+    preceded ``EI``.  An image that doesn't parse is skipped wholesale
+    (error-channel semantics), never misread as text."""
+    imgs: list[tuple[float, float, float, float, str, int, int, bytes]] = []
+    kept: list[str] = []
+    pos = 0
+    while True:
+        m = _INLINE_IMG_RE.search(content, pos)
+        if not m:
+            break
+        params = m.group(5)
+
+        def ip(name: str) -> int | None:
+            pm = re.search(rf"/{name}\s+(\d+)", params)
+            return int(pm.group(1)) if pm else None
+
+        wpx = ip("W") or ip("Width")
+        hpx = ip("H") or ip("Height")
+        bpc = ip("BPC") or ip("BitsPerComponent") or 8
+        length = ip("L") or ip("Length")
+        gray = bool(re.search(r"/CS\s*/G\b|/ColorSpace\s*/DeviceGray",
+                              params))
+        filtered = bool(re.search(r"/F[\s/]|/Filter", params))
+        data_start = m.end()
+        if length is None and wpx and hpx and gray and not filtered:
+            length = (wpx * hpx * bpc + 7) // 8
+        if length is not None:
+            data_end = data_start + length
+            if content[data_end:data_end + 4].lstrip()[:2] != "EI":
+                length = None  # /L lied or unsupported layout: rescan
+        if length is None:
+            em_ = re.search(r"(?:\r?\n| )EI(?![0-9A-Za-z])",
+                            content[data_start:])
+            if not em_:
+                kept.append(content[pos:m.end()])
+                pos = m.end()
+                continue
+            data_end = data_start + em_.start()
+        payload = content[data_start:data_end].encode("latin-1")
+        em2 = re.compile(r"\s*EI\s*Q?").match(content, data_end)
+        after = em2.end() if em2 else data_end
+        etm = re.search(r"/ElementType\s*/(\w+)", params)
+        etype = (etm.group(1) if etm and etm.group(1) in config.ELEMENT_TYPES
+                 else "other")
+        kept.append(content[pos:m.start()])
+        imgs.append((float(m.group(1)), float(m.group(2)),
+                     float(m.group(3)), float(m.group(4)),
+                     etype, wpx or 0, hpx or 0, payload))
+        pos = after
+    kept.append(content[pos:])
+    return "".join(kept), imgs
+
+
+def _is_encrypted(data: bytes, objs: dict[int, bytes]) -> bool:
+    """/Encrypt detection without pattern-matching entropy bytes: classic
+    trailer dicts (after the ``trailer`` keyword) and PDF 1.5 XRef stream
+    dict heads only."""
+    enc = re.compile(rb"/Encrypt\s+\d+\s+0\s+R")
+    for tm in re.finditer(rb"trailer", data):
+        if enc.search(data, tm.end(), tm.end() + 2048):
+            return True
+    for body in objs.values():
+        sm = _STREAM_START_RE.search(body)
+        head = body[:sm.start()] if sm else body
+        if b"/XRef" in head and enc.search(head):
+            return True
+    return False
 
 
 def _disp_point(x: float, y: float, rot: int, uw: float, uh: float) -> tuple[float, float]:
@@ -662,6 +1128,10 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
     # unpacked into the same table here.
     objs = _scan_objects(data)
     _unpack_object_streams(objs)
+    if _is_encrypted(data, objs):
+        raise EncryptedPdfError(
+            "document has an /Encrypt dictionary; decryption is out of "
+            "scope — routed to the error channel")
 
     # locate the Pages node for /Kids ordering
     kids_order: list[int] = []
@@ -703,6 +1173,9 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
         content = "\n".join(
             _stream_bytes(objs.get(n, b""), objs).decode("latin-1") for n in cnums
         )
+        # inline BI/ID/EI images come out FIRST: their raw sample bytes
+        # must never reach the text/XObject regex scans
+        content, inline_imgs = _extract_inline_images(content)
 
         # XObject name → object num map for element_type lookup
         xmap: dict[str, int] = {}
@@ -717,11 +1190,11 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
         for bt in _BT_RE.finditer(content):
             seg = bt.group(1)
             size = 12.0
-            cmap = None
+            decode = None
             fm_ = _TF_RE.search(seg)
             if fm_:
                 size = float(fm_.group(2))
-                cmap = cmaps.get(fm_.group(1))
+                decode = cmaps.get(fm_.group(1))
             mm = _TM_RE.search(seg)
             if mm:
                 # Tm text matrix [a b c d e f]: baseline direction (a, b),
@@ -742,7 +1215,7 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
             # horizontal is skipped, never misplaced
             if bx <= 0 or abs(by) > 0.01 * bx:
                 continue
-            text = _segment_text(seg, cmap)
+            text = _segment_text(seg, decode)
             if text.strip():
                 # baseline → top-of-run, matching the generator's convention
                 runs.append(Run(x=dx, y=dy - size, size=size, text=text))
@@ -779,6 +1252,19 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
                 fmt = (f"gray8:{wm.group(1).decode()}x{hm.group(1).decode()}"
                        if gray and wm and hm else "bin")
             images.append((bbox, etype, fmt, raw))
+        for (w, h, x, yb, etype, wpx, hpx, payload) in inline_imgs:
+            px1, py1 = _disp_point(x, yb, rot, uw, uh)
+            px2, py2 = _disp_point(x + w, yb + h, rot, uw, uh)
+            x0, x1 = sorted((px1, px2))
+            y0, y1 = sorted((py1, py2))
+            s = config.BBOX_SCALE
+            bbox = (
+                int(x0 / pw * s), int(y0 / ph * s),
+                int(x1 / pw * s), int(y1 / ph * s),
+            )
+            fmt = f"gray8:{wpx}x{hpx}" if payload and wpx and hpx else (
+                "bin" if payload else "")
+            images.append((bbox, etype, fmt, payload))
         pages.append(PageRuns(idx, pw, ph, runs, images))
     return pages
 

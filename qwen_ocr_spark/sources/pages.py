@@ -169,14 +169,21 @@ def _pdf_doc(r: random.Random, doc_id: int, max_pages: int = 14) -> tuple[bytes,
                               rotation=90 if doc_id % 19 == 0 else 0))
     # exercise the real-world encodings: most crawl PDFs FlateDecode their
     # streams, many emit TJ kerned arrays, hex string operands, PDF 1.5
-    # xref streams, and object-stream packing — extraction is invariant to
-    # all five axes (golden-tested)
+    # xref streams, and object-stream packing; round 4 adds simple-font
+    # /Encoding /Differences remapping, LZWDecode filters, PNG-predictored
+    # streams, and inline BI/ID/EI images — extraction is invariant to all
+    # nine axes (golden-tested)
+    cid = doc_id % 17 == 0
     return (
         make_pdf(pages, compress=doc_id % 2 == 0, tj_arrays=doc_id % 3 == 0,
                  hex_strings=doc_id % 5 == 0, xref_stream=doc_id % 11 == 0,
                  object_streams=doc_id % 7 == 0,
                  tm_positioning=doc_id % 13 == 0,
-                 cid_font=doc_id % 17 == 0),
+                 cid_font=cid,
+                 differences_encoding=doc_id % 23 == 0 and not cid,
+                 lzw=doc_id % 29 == 0,
+                 png_predictor=doc_id % 31 == 0,
+                 inline_images=doc_id % 37 == 0),
         " ".join(all_text),
     )
 
@@ -278,12 +285,20 @@ def _bridge_pdf(doc_id: int, text: str) -> bytes:
         pages[-1].texts.append(TextSpec(72, y, 12, line))
     # deterministic encoding mix: the driver's extract_docs oracle therefore
     # exercises compressed, kerned, hex-string, xref-stream, object-stream,
-    # and Tm-positioned PDFs through the FULL pipeline
+    # Tm-positioned, /Differences-remapped, LZW'd and PNG-predictored PDFs
+    # through the FULL pipeline.  /Differences needs a single-byte charset:
+    # docs whose text exceeds that fall back to the plain font (the choice
+    # is a pure function of (doc_id, text), so the oracle is unaffected)
+    cid = doc_id % 35 == 0
+    diff = doc_id % 38 == 0 and not cid and len(set(text)) <= 180
     return make_pdf(pages, compress=doc_id % 14 == 0, tj_arrays=doc_id % 21 == 0,
                     hex_strings=doc_id % 15 == 0, xref_stream=doc_id % 33 == 0,
                     object_streams=doc_id % 22 == 0,
                     tm_positioning=doc_id % 26 == 0,
-                    cid_font=doc_id % 35 == 0)
+                    cid_font=cid,
+                    differences_encoding=diff,
+                    lzw=doc_id % 46 == 0,
+                    png_predictor=doc_id % 58 == 0)
 
 
 def _bridge_fig_attrs(doc_id: int) -> tuple[tuple[int, int, int, int], str, str]:

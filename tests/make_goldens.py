@@ -202,6 +202,21 @@ to the discussion with even more words of content.</p>
     rot_spec = [PageSpec(texts=flate_spec[0].texts,
                          images=flate_spec[0].images, rotation=90)]
     pdf_case("pdf_rotate90", rot_spec, compress=True)
+    # round 4: the remaining real-crawl structural axes (VERDICT r3 items
+    # 2-3) — simple-font /Encoding /Differences remapping, LZWDecode
+    # filters, PNG-predictored Flate streams, and inline BI/ID/EI images
+    pdf_case("pdf_differences", flate_spec, differences_encoding=True,
+             compress=True)
+    diff_uni_spec = [PageSpec(texts=[
+        TextSpec(72, 60, 20, "Accented Title — naïve café résumé"),
+        *_lines(["Latin-1 text: größer äußerst façade ñandú.",
+                 "Beyond Latin-1 via uniXXXX names: 模型 ½ × ¾."], y0=140)])]
+    pdf_case("pdf_differences_unicode", diff_uni_spec,
+             differences_encoding=True)
+    pdf_case("pdf_lzw", flate_spec, lzw=True)
+    pdf_case("pdf_predictor", flate_spec, compress=True, png_predictor=True)
+    pdf_case("pdf_inline_images", flate_spec, inline_images=True,
+             compress=True)
 
     pdf_case("pdf_table", [PageSpec(texts=[
         TextSpec(72, 160, 12, "Table 1: Latency by configuration and mode"),

@@ -6,6 +6,10 @@ heading reconstruction, two-column reading order, running header/footer
 removal, sentence merge across pages, list continuation, figure refs +
 area filter, table as HTML."""
 
+import re
+
+import pytest
+
 from qwen_ocr_spark.functions.pdfx import (
     ImageSpec,
     PageSpec,
@@ -297,6 +301,105 @@ def test_indirect_length_multidigit_ref_number():
                + f"{ref_num} 0 obj\n{int(m.group(2))}\nendobj\n".encode()
                + patched[insert_at:])
     assert parse_pdf(patched)[0].runs[0].text == "alpha beta gamma"
+
+
+def test_differences_encoding_structure_and_decode():
+    """The /Differences variant is structurally honest (indirect /Encoding
+    object, every code remapped — a naive latin-1 decode would yield
+    garbage) and decodes byte-identically, including non-Latin-1 chars via
+    uniXXXX glyph names."""
+    text = "naïve café — résumé 模型 ½ × ¾"
+    spec = [PageSpec(texts=[TextSpec(72, 100, 12, text)])]
+    pdf = make_pdf(spec, differences_encoding=True)
+    assert b"/Differences [ 33 " in pdf and b"/eacute" in pdf
+    assert b"/uni6A21" in pdf  # 模
+    assert re.search(rb"/Encoding \d+ 0 R", pdf)  # indirect encoding obj
+    assert text.encode("latin-1", "ignore") not in pdf  # remapped, not raw
+    assert parse_pdf(pdf)[0].runs[0].text == text
+    # precedence/conflict guard
+    with pytest.raises(ValueError):
+        make_pdf(spec, differences_encoding=True, cid_font=True)
+
+
+def test_differences_inline_encoding_dict():
+    """An INLINE /Encoding << … /Differences [...] >> dict (the other form
+    real writers emit) decodes the same as the indirect object."""
+    spec = [PageSpec(texts=[TextSpec(72, 100, 12, "café bills")])]
+    pdf = make_pdf(spec, differences_encoding=True)
+    m = re.search(rb"(\d+) 0 obj\n(<< /Type /Encoding .*? >>)\nendobj\n", pdf, re.S)
+    assert m, "indirect encoding object not found"
+    enc_num, enc_dict = m.group(1), m.group(2)
+    inlined = pdf.replace(b"/Encoding " + enc_num + b" 0 R",
+                          b"/Encoding " + enc_dict)
+    assert parse_pdf(inlined)[0].runs[0].text == "café bills"
+
+
+def test_lzw_and_predictor_streams_are_real():
+    """The LZW variant actually tags /LZWDecode (no Flate anywhere) and
+    the predictor variant carries /DecodeParms — external tooling sees
+    structurally honest filters; both extract identically to plain."""
+    spec = [PageSpec(texts=[TextSpec(72, 100, 12, "alpha beta gamma delta")])]
+    plain = parse_pdf(make_pdf(spec))[0].runs[0].text
+    lzw_pdf = make_pdf(spec, lzw=True)
+    assert b"/LZWDecode" in lzw_pdf and b"/FlateDecode" not in lzw_pdf
+    assert b"alpha beta" not in lzw_pdf  # genuinely compressed
+    assert parse_pdf(lzw_pdf)[0].runs[0].text == plain
+    pred_pdf = make_pdf(spec, compress=True, png_predictor=True)
+    assert b"/DecodeParms << /Predictor 12 /Columns 64 >>" in pred_pdf
+    assert parse_pdf(pred_pdf)[0].runs[0].text == plain
+
+
+def test_inline_images_extracted_as_figures():
+    """BI/ID/EI inline images carry no XObject; the parser recovers bbox,
+    element type, and the raw samples, and binary payload bytes never
+    corrupt the surrounding text scan."""
+    spec = [PageSpec(texts=[TextSpec(72, 100, 12, "text before image"),
+                            TextSpec(72, 560, 12, "text after image")],
+                     images=[ImageSpec(90, 200, 300, 250, "graph")])]
+    pdf = make_pdf(spec, inline_images=True)
+    assert b"BI /W 8 /H 8" in pdf and b"/XObject" not in pdf
+    via_xobj = parse_pdf(make_pdf(spec))
+    via_inline = parse_pdf(pdf)
+    assert [r.text for r in via_inline[0].runs] == [r.text for r in via_xobj[0].runs]
+    assert [(i[0], i[1], i[2], i[3]) for i in via_inline[0].images] == \
+           [(i[0], i[1], i[2], i[3]) for i in via_xobj[0].images]
+
+
+def test_encrypted_pdf_routes_typed_error():
+    """/Encrypt in the trailer (classic) or XRef stream dict (1.5) raises
+    the typed EncryptedPdfError — the error channel records WHY instead of
+    an accidental empty parse."""
+    from qwen_ocr_spark.functions.pdfx import EncryptedPdfError
+    spec = [PageSpec(texts=[TextSpec(72, 100, 12, "secret words")])]
+    pdf = make_pdf(spec)
+    enc = pdf.replace(b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size")
+    with pytest.raises(EncryptedPdfError):
+        parse_pdf(enc)
+    pdf15 = make_pdf(spec, xref_stream=True)
+    enc15 = pdf15.replace(b"<< /Type /XRef /Size",
+                          b"<< /Type /XRef /Encrypt 9 0 R /Size")
+    with pytest.raises(EncryptedPdfError):
+        parse_pdf(enc15)
+    # and the extraction UDF maps it into the error column
+    from qwen_ocr_spark.operators.extract import _extract_iter
+    import pandas as pd
+    out = list(_extract_iter(iter([pd.DataFrame(
+        {"url": ["https://x/enc.pdf"], "warc_ts": [None], "html": [enc]})])))[0]
+    assert out["error"][0].startswith("EncryptedPdfError:")
+    assert out["markdown"][0] is None
+
+
+def test_lzw_roundtrip_and_known_widths():
+    """LZW codec: identity round-trips across the 9→10→11→12-bit width
+    boundaries and a table clear; decoder tolerates truncation."""
+    from qwen_ocr_spark.functions.pdfx import _lzw_decode, _lzw_encode
+    import random
+    rng = random.Random(7)
+    for n in (0, 1, 257, 5000, 60000):
+        data = bytes(rng.randrange(256) for _ in range(n // 2)) + b"ab" * (n - n // 2 >> 1)
+        assert _lzw_decode(_lzw_encode(data)) == data
+    enc = _lzw_encode(b"abcabcabc")
+    assert _lzw_decode(enc[:3]) in (b"", b"a", b"ab", b"abc")  # never raises
 
 
 def test_hex_string_oddities():
