@@ -230,18 +230,18 @@ def encode_pgm(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# JPEG (baseline sequential DCT — ITU T.81)
+# JPEG (sequential + progressive DCT — ITU T.81)
 #
-# Decoder: SOF0 baseline, 1- or 3-component (YCbCr per JFIF), any sampling
-# factors <= 4 (incl. the dominant 4:2:0), restart intervals, FF00 byte
-# stuffing; huffman + quant tables are read FROM the file, so any
-# conforming baseline JPEG decodes.  Progressive (SOF2), arithmetic (SOF9+)
-# and 12-bit raise ValueError into the row error channel — that is the
-# remaining (narrowed) UnsupportedCodec seam.
-# Encoder: deterministic grayscale baseline with the T.81 Annex-K
-# luminance tables at a fixed quality scaling — enough for synthetic
-# corpora and encoding-invariance tests (JPEG is lossy: invariance is
-# within-tolerance, not byte-exact).
+# Decoder: SOF0/1 baseline and SOF2 PROGRESSIVE (spectral selection +
+# successive approximation, DC/AC first + refinement passes, EOB runs),
+# 1- or 3-component (YCbCr per JFIF), any sampling factors <= 4 (incl.
+# the dominant 4:2:0), restart intervals, FF00 byte stuffing; huffman +
+# quant tables are read FROM the file.  Arithmetic (SOF9+), lossless and
+# 12-bit raise UnsupportedVariant into the row error channel — that is
+# the remaining (narrowed) UnsupportedCodec seam.
+# Encoders: deterministic baseline (encode_jpeg) and progressive
+# (encode_jpeg_progressive) writing the SAME quantized coefficients, so
+# decode equality between the two is exact — the progressive test oracle.
 # ---------------------------------------------------------------------------
 
 _ZIGZAG = [
@@ -363,7 +363,10 @@ def _huff_read(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential JPEG → uint8 (h, w) gray or (h, w, 3) RGB."""
+    """Sequential (SOF0/1) or progressive (SOF2) JPEG → uint8 (h, w) gray
+    or (h, w, 3) RGB.  Progressive frames accumulate coefficients across
+    all scans (spectral selection + successive approximation, DC and AC
+    first/refinement passes, EOBRUN) and reconstruct at EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -371,6 +374,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     w = h = 0
     dri = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None    # per comp (bh, bw, 64) zigzag
+    geom: tuple[int, int, int, int] = (0, 0, 0, 0)  # hmax, vmax, mcux, mcuy
     i = 2
     while i + 4 <= len(data):
         if data[i] != 0xFF:
@@ -389,7 +395,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise UnsupportedVariant("16-bit quant tables unsupported")
                 qt[tid] = np.frombuffer(seg[p:p + 64], np.uint8).astype(np.int32)
                 p += 64
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             h, w = (int.from_bytes(seg[1:3], "big"),
                     int.from_bytes(seg[3:5], "big"))
             if seg[0] != 8:
@@ -399,10 +406,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedVariant(
-                "progressive/extended JPEG unsupported (baseline only)")
+                "arithmetic/lossless/hierarchical JPEG unsupported")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -419,10 +426,197 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             smap = {}
             for c in range(ns):
                 smap[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
-            return _decode_scan(data, i + 2 + seg_len, w, h, comps, smap,
-                                qt, huff, dri)
+            if not progressive:
+                return _decode_scan(data, i + 2 + seg_len, w, h, comps, smap,
+                                    qt, huff, dri)
+            if not comps or not w or not h:
+                raise ValueError("JPEG scan before frame header")
+            if coefs is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                geom = (hmax, vmax, mcux, mcuy)
+                coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                  np.int32) for c in comps]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            i = _decode_prog_scan(data, i + 2 + seg_len, comps, smap, coefs,
+                                  ss, se, ah, al, huff, dri, w, h, *geom)
+            continue
         i += 2 + seg_len
+    if progressive and coefs is not None:
+        return _idct_assemble(coefs, comps, qt, w, h, geom[0], geom[1])
     raise ValueError("JPEG has no scan")
+
+
+def _comp_block_dims(c: dict, w: int, h: int, hmax: int, vmax: int) -> tuple[int, int]:
+    """Non-interleaved (single-component) scans cover the component's REAL
+    data-unit grid — ceil(comp_dims / 8) — not the MCU-padded grid."""
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_prog_scan(data, pos, comps, smap, coefs, ss, se, ah, al,
+                      huff, dri, w, h, hmax, vmax, mcux, mcuy) -> int:
+    """One progressive SOS: update the coefficient store in place, return
+    the offset of the next marker.  Implements T.81 G.2: DC first/refine
+    (interleaved or single-component), AC first/refine (single-component
+    only, per spec) with EOB-run coding."""
+    r = _BitReader(data, pos)
+    p1, m1 = 1 << al, -1 << al
+    sel = [(ci, c) for ci, c in enumerate(comps) if c["id"] in smap]
+    # T.81 G.1.1.1.1: a DC scan has Se=0; an AC scan has exactly one
+    # component.  A baseline scan header inside a SOF2 frame (seen in
+    # corrupt/mislabeled crawl files) trips this instead of desyncing.
+    if (ss == 0 and se != 0) or (ss > 0 and (len(sel) != 1 or ss > se)) \
+            or not sel:
+        raise ValueError("malformed progressive scan header")
+
+    def refine_nonzero(block, k) -> None:
+        # correction bit for an already-nonzero coefficient: grow its
+        # magnitude by p1 when the bit says so and the bit isn't set yet
+        if r.bit() and (int(block[k]) & p1) == 0:
+            block[k] += p1 if block[k] >= 0 else m1
+
+    if ss == 0:  # DC scan (se must be 0)
+        preds = {ci: 0 for ci, _ in sel}
+        if len(sel) > 1:  # interleaved MCU order
+            for mcu in range(mcux * mcuy):
+                if dri and mcu and mcu % dri == 0:
+                    r.restart()
+                    preds = {ci: 0 for ci, _ in sel}
+                my, mx = divmod(mcu, mcux)
+                for ci, c in sel:
+                    dc_tab = huff.get((0, smap[c["id"]][0]), {})
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block = coefs[ci][my * c["v"] + by,
+                                              mx * c["h"] + bx]
+                            if ah == 0:
+                                s = _huff_read(r, dc_tab)
+                                preds[ci] += _extend(r.receive(s), s)
+                                block[0] = preds[ci] << al
+                            elif r.bit():
+                                block[0] |= p1
+        else:
+            ci, c = sel[0]
+            dc_tab = huff.get((0, smap[c["id"]][0]), {})
+            bw_, bh_ = _comp_block_dims(c, w, h, hmax, vmax)
+            pred = n = 0
+            for by in range(bh_):
+                for bx in range(bw_):
+                    if dri and n and n % dri == 0:
+                        r.restart()
+                        pred = 0
+                    n += 1
+                    block = coefs[ci][by, bx]
+                    if ah == 0:
+                        s = _huff_read(r, dc_tab)
+                        pred += _extend(r.receive(s), s)
+                        block[0] = pred << al
+                    elif r.bit():
+                        block[0] |= p1
+    else:  # AC scan: exactly one component
+        ci, c = sel[0]
+        ac_tab = huff[(1, smap[c["id"]][1])]
+        bw_, bh_ = _comp_block_dims(c, w, h, hmax, vmax)
+        eobrun = 0
+        n = 0
+        for by in range(bh_):
+            for bx in range(bw_):
+                if dri and n and n % dri == 0:
+                    r.restart()
+                    eobrun = 0
+                n += 1
+                block = coefs[ci][by, bx]
+                if ah == 0:  # AC first pass
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_read(r, ac_tab)
+                        run, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if run < 15:  # EOBn: this block + eobrun more
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += r.receive(run)
+                                break
+                            k += 16       # ZRL
+                            continue
+                        k += run
+                        if k > se:
+                            raise ValueError("JPEG AC overflow")
+                        block[k] = _extend(r.receive(s), s) << al
+                        k += 1
+                else:  # AC refinement pass (T.81 G.2 / libjpeg semantics)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _huff_read(r, ac_tab)
+                            run, s = rs >> 4, rs & 0xF
+                            val = 0
+                            if s == 0:
+                                if run < 15:
+                                    eobrun = 1 << run
+                                    if run:
+                                        eobrun += r.receive(run)
+                                    break  # tail handled by EOB branch
+                                # run == 15: ZRL over 16 zero-history slots
+                            else:
+                                val = p1 if r.bit() else m1
+                            while k <= se:
+                                if block[k] != 0:
+                                    refine_nonzero(block, k)
+                                else:
+                                    if run == 0:
+                                        if val:
+                                            block[k] = val
+                                        k += 1
+                                        break
+                                    run -= 1
+                                k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if block[k] != 0:
+                                refine_nonzero(block, k)
+                            k += 1
+                        eobrun -= 1
+    # byte-align and advance to the next marker (skipping pad bytes)
+    j = r.i
+    while j + 1 < len(data) and not (
+            data[j] == 0xFF and data[j + 1] != 0x00
+            and not 0xD0 <= data[j + 1] <= 0xD7):
+        j += 1
+    return j
+
+
+def _idct_assemble(coefs, comps, qt, w, h, hmax, vmax) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient store and assemble
+    the image (shared tail of the progressive path; the baseline path
+    fuses this per block in _decode_scan)."""
+    out = []
+    for ci, c in enumerate(comps):
+        arr = coefs[ci].astype(np.float64) * qt[c["tq"]][None, None, :]
+        nat = np.zeros_like(arr)
+        nat[:, :, _ZIGZAG] = arr
+        bh_, bw_ = arr.shape[:2]
+        blocks = nat.reshape(bh_, bw_, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _DCT.T, blocks, _DCT) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        out.append(plane[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, w, h, comps, smap, qt, huff, dri) -> np.ndarray:
@@ -625,6 +819,252 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
     dri = seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
     sos = seg(0xDA, bytes([nc]) + smap + b"\x00\x3f\x00")
     return (b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9")
+
+
+# Progressive AC scans also emit EOBn run-length symbols (n<<4 for
+# EOBRUN up to 2^14) which the Annex-K baseline AC table has no codes
+# for, so the progressive encoder ships its own flat table: every symbol
+# it can emit at code length 9 (176 symbols < 2^9; compression ratio is
+# irrelevant for the synthetic corpus, validity + coverage are not).
+_AC_PROG_VALS = sorted({(r << 4) | s for r in range(16) for s in range(1, 11)}
+                       | {n << 4 for n in range(15)} | {0xF0})
+_AC_PROG_BITS = [0] * 16
+_AC_PROG_BITS[8] = len(_AC_PROG_VALS)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 75) -> bytes:
+    """Deterministic PROGRESSIVE JPEG (SOF2) with the same quantized
+    coefficients as ``encode_jpeg`` at the same quality — so
+    ``decode_jpeg`` of both yields IDENTICAL pixels (progressive is a
+    lossless reordering of the same data; the tests assert exact
+    equality).  Scan script exercises every decoder path: interleaved DC
+    first at Al=1, DC refinement, per-component AC first (spectral 1-63
+    at Al=1, EOB-run coded) and AC refinement (correction bits,
+    ZRL-over-history, buffered bits attached to EOB runs)."""
+    img = np.asarray(img)
+    color = img.ndim == 3 and img.shape[2] >= 3
+    if img.ndim == 3 and not color:
+        img = img[:, :, 0]
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255).astype(np.int32)
+    dcc = _huff_codes(_DC_L_BITS, _DC_L_VALS)
+    acc = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    if color:
+        h, w = img.shape[:2]
+        r_, g_, b_ = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        pad = lambda p: np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        sub = lambda p: pad(p).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+        planes = [pad(y) - 128.0, sub(cb), sub(cr)]
+        samp = [(2, 2), (1, 1), (1, 1)]
+        comps_hdr = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        cids = [1, 2, 3]
+    else:
+        pix = img.astype(np.float64)
+        h, w = pix.shape
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [np.pad(pix, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0]
+        samp = [(1, 1)]
+        comps_hdr = bytes([1, 0x11, 0])
+        cids = [1]
+    nc = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    coef: list[np.ndarray] = []
+    for p_ in planes:
+        bh_, bw_ = p_.shape[0] // 8, p_.shape[1] // 8
+        zz = np.zeros((bh_, bw_, 64), np.int32)
+        for by in range(bh_):
+            for bx in range(bw_):
+                blk = _DCT @ p_[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] @ _DCT.T
+                zz[by, bx] = np.round(
+                    blk.reshape(64)[_ZIGZAG] / q[_ZIGZAG]).astype(np.int32)
+        coef.append(zz)
+    # non-interleaved AC scans cover only the REAL data-unit grid
+    real = [(-(-(-(-w * hh // hmax)) // 8), -(-(-(-h * vv // vmax)) // 8))
+            for hh, vv in samp]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    def sos(comp_specs: list[int], ss: int, se: int, ah: int, al: int,
+            body: bytes) -> bytes:
+        hdr = bytes([len(comp_specs)]) + b"".join(
+            bytes([cid, 0x00]) for cid in comp_specs) + bytes([ss, se,
+                                                              (ah << 4) | al])
+        return seg(0xDA, hdr) + body
+
+    scans: list[bytes] = []
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift, diff-coded)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            hh, vv = samp[ci]
+            for by in range(vv):
+                for bx in range(hh):
+                    dc = int(coef[ci][my * vv + by, mx * hh + bx][0]) >> 1
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    s = _cat(diff)
+                    code, ln = dcc[s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    scans.append(sos(cids, 0, 0, 0, 1, bytes(bw.out)))
+
+    # scan 2: DC refinement — one raw bit per block, MCU order
+    bw = _BitWriter()
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            hh, vv = samp[ci]
+            for by in range(vv):
+                for bx in range(hh):
+                    bw.write(int(coef[ci][my * vv + by, mx * hh + bx][0]) & 1, 1)
+    bw.flush()
+    scans.append(sos(cids, 0, 0, 1, 0, bytes(bw.out)))
+
+    # per-component AC first: spectral 1-63 at Al=1 with EOB-run coding
+    for ci in range(nc):
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = acc[nb << 4]
+                bw.write(code, ln)
+                if nb:
+                    bw.write(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        rw_, rh_ = real[ci]
+        for by in range(rh_):
+            for bx in range(rw_):
+                zz = coef[ci][by, bx]
+                vals = [0] * 64
+                last = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    mag = abs(v) >> 1  # Al=1: magnitude shift
+                    if mag:
+                        vals[k] = mag if v > 0 else -mag
+                        last = k
+                if last == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last + 1):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = acc[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _cat(v)
+                    code, ln = acc[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw.flush()
+        scans.append(sos([cids[ci]], 1, 63, 0, 1, bytes(bw.out)))
+
+    # per-component AC refinement: Ah=1 → Al=0 (libjpeg G.1.2.3 algorithm)
+    for ci in range(nc):
+        bw = _BitWriter()
+        eobrun = 0
+        pend: list[int] = []  # correction bits riding with the EOB run
+
+        def flush_eob2() -> None:
+            nonlocal eobrun, pend
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = acc[nb << 4]
+                bw.write(code, ln)
+                if nb:
+                    bw.write(eobrun - (1 << nb), nb)
+            for b in pend:
+                bw.write(b, 1)
+            eobrun = 0
+            pend = []
+
+        rw_, rh_ = real[ci]
+        for by in range(rh_):
+            for bx in range(rw_):
+                zz = coef[ci][by, bx]
+                absv = [abs(int(zz[k])) for k in range(64)]
+                eob = 0
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k
+                run = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRLs fire at EVERY nonzero position once the
+                    # zero-history run exceeds 15 (libjpeg schedule) — the
+                    # buffered correction bits must ride with THIS ZRL,
+                    # not a later code, or the decoder desyncs; runs past
+                    # the last newly-significant coef fold into the EOB
+                    while run > 15 and k <= eob:
+                        flush_eob2()
+                        code, ln = acc[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                        for b in br:
+                            bw.write(b, 1)
+                        br = []
+                    if t > 1:  # already significant: buffer its next bit
+                        br.append(t & 1)
+                        continue
+                    # newly significant (t == 1)
+                    flush_eob2()
+                    code, ln = acc[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if int(zz[k]) > 0 else 0, 1)
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    pend.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob2()
+        flush_eob2()
+        bw.flush()
+        scans.append(sos([cids[ci]], 1, 63, 1, 0, bytes(bw.out)))
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(q[z]) for z in _ZIGZAG))
+    sof = seg(0xC2, b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([nc]) + comps_hdr)
+    dht = seg(0xC4, b"\x00" + bytes(_DC_L_BITS) + bytes(_DC_L_VALS)
+              + b"\x10" + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS))
+    return (b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9")
 
 
 # ---------------------------------------------------------------------------

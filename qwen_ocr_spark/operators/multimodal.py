@@ -13,10 +13,11 @@ this container, and none needed for these formats):
 * PNG (8-bit gray/RGB/RGBA, all filters), BMP (24-bit), PGM — real
   container parsing + inflate;
 * WAV (PCM) — stdlib ``wave``;
-* baseline JPEG (huffman + IDCT + 4:2:0/4:2:2 chroma, restart intervals)
+* baseline AND progressive JPEG (huffman + IDCT + 4:2:0/4:2:2 chroma,
+  restart intervals; spectral-selection + successive-approximation scans)
   — the pure-numpy decoder in ``functions/codecs.py``;
-* anything else (progressive/arithmetic/12-bit JPEG, interlaced/16-bit
-  PNG, formats with no decoder here) raises ``UnsupportedCodec`` inside the row-level
+* anything else (arithmetic/12-bit JPEG, interlaced/16-bit PNG, formats
+  with no decoder here) raises ``UnsupportedCodec`` inside the row-level
   error channel — the clearly-marked stub seam where a full codec library
   plugs in.
 
@@ -43,10 +44,10 @@ MEDIA_SCHEMA = (
 
 class UnsupportedCodec(NotImplementedError):
     """STUB SEAM: raised for codecs/variants this container cannot decode.
-    Since round 3 the baseline-JPEG decoder (functions/codecs.py) narrowed
-    this seam to progressive/arithmetic/12-bit JPEG, interlaced/16-bit PNG,
-    and formats with no decoder at all (no PIL/libav here).  Replace by a
-    full codec lib in deployment."""
+    Round 3's baseline-JPEG decoder and round 4's progressive scans
+    (functions/codecs.py) narrowed this seam to arithmetic/12-bit JPEG,
+    interlaced/16-bit PNG, and formats with no decoder at all (no
+    PIL/libav here).  Replace by a full codec lib in deployment."""
 
 
 def _decode_gray(codec: str, payload: bytes, w: int, h: int) -> np.ndarray:
@@ -63,9 +64,10 @@ def _decode_gray(codec: str, payload: bytes, w: int, h: int) -> np.ndarray:
 def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
     """Deterministic synthetic media table: gray images in four lossless
     encodings (RAWGRAY/PNG/BMP/PGM — identical pixel content per id, so
-    features are encoding-invariant), real baseline JPEGs (lossy: features
-    match within tolerance), RAWGRAY 'videos' (stacked frames), PCM WAV
-    audio, plus PROGRESSIVE JPEGs exercising the narrowed stub seam."""
+    features are encoding-invariant), real baseline AND progressive JPEGs
+    (lossy: features match within tolerance), RAWGRAY 'videos' (stacked
+    frames), PCM WAV audio, plus arithmetic-coded JPEG headers exercising
+    the narrowed stub seam."""
     if partitions is None:
         partitions = max(4, spark.sparkContext.defaultParallelism)
 
@@ -78,11 +80,17 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
                 px = np.array([(i * 7 + p) % 251 for p in range(w * h)],
                               dtype=np.uint8).reshape(h, w)
                 if i % 11 == 10:
-                    enc = codecs.encode_jpeg(px)
-                    if i % 2 == 0:
-                        # flip SOF0→SOF2: a structurally real progressive
-                        # header, the (narrowed) UnsupportedCodec seam
-                        enc = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+                    if i % 4 == 0:
+                        # arithmetic-coded header (SOF9): the remaining
+                        # (narrowed) UnsupportedCodec seam
+                        enc = codecs.encode_jpeg(px).replace(
+                            b"\xff\xc0", b"\xff\xc9", 1)
+                    elif i % 2 == 0:
+                        # REAL progressive JPEG (round 4): decodes to the
+                        # same pixels as the baseline encoding
+                        enc = codecs.encode_jpeg_progressive(px)
+                    else:
+                        enc = codecs.encode_jpeg(px)
                     rows.append((i, "image", "JPEG", enc, (w, h, 1, 0)))
                 elif i % 13 == 3:
                     rate = 8000 * (1 + i % 3)

@@ -182,11 +182,38 @@ def test_jpeg_deterministic_and_dispatch():
     assert np.array_equal(codecs.decode_image("JPEG", enc), codecs.decode_jpeg(enc))
 
 
-def test_jpeg_progressive_is_unsupported_variant():
+def test_jpeg_arithmetic_is_unsupported_variant():
     enc = bytearray(codecs.encode_jpeg(_img(8, 8)))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2
+    enc[i + 1] = 0xC9  # SOF9: arithmetic coding — the remaining seam
     with pytest.raises(codecs.UnsupportedVariant):
         codecs.decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
         codecs.decode_jpeg(b"not a jpeg at all")
+
+
+def test_jpeg_mislabeled_progressive_header_fails_cleanly():
+    """A baseline file whose SOF0 was flipped to SOF2 (corrupt/mislabeled
+    crawl bytes) carries a baseline scan header inside a progressive
+    frame — the scan validator raises instead of desyncing silently."""
+    enc = bytearray(codecs.encode_jpeg(_img(8, 8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(bytes(enc))
+
+
+def test_jpeg_progressive_decodes_exactly_as_baseline():
+    """Progressive is a lossless reordering of the same quantized
+    coefficients: decode(progressive(img)) == decode(baseline(img))
+    EXACTLY, gray and color, across qualities and odd sizes (this drives
+    every scan type: DC first/refine, AC first/refine, EOB runs, ZRL
+    over nonzero history)."""
+    rng = np.random.default_rng(5)
+    for shape in [(8, 8), (20, 13), (33, 77), (24, 40, 3), (37, 21, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (30, 75, 95):
+            b = codecs.decode_jpeg(codecs.encode_jpeg(img, q))
+            p = codecs.decode_jpeg(codecs.encode_jpeg_progressive(img, q))
+            assert b.shape == p.shape
+            assert np.array_equal(b, p), (shape, q)

@@ -74,16 +74,19 @@ def test_image_features_real_decode(media):
     bad = [r for r in feats.values() if r["error"] is not None]
     n_audio = media.where(F.col("kind") == "audio").count()
     assert len(ok) + len(bad) == N - n_audio  # audio handled by audio_features
-    # PROGRESSIVE JPEG rows hit the (narrowed) stub seam, not a job failure
+    # arithmetic-coded JPEG rows hit the (narrowed) stub seam, not a job
+    # failure; progressive rows now REALLY decode (round 4)
     assert bad and all("UnsupportedCodec" in r["error"] for r in bad)
-    assert all("progressive" in r["error"] for r in bad)
+    assert all("arithmetic" in r["error"] for r in bad)
+    assert all(r["media_id"] % 44 == 32 for r in bad)  # only the SOF9 rows
     jpeg_ids = {r["media_id"] for r in
                 media.where(F.col("codec") == "JPEG").select("media_id").collect()}
-    # baseline JPEG rows now REALLY decode (odd ids; even ids are the
-    # progressive seam) — lossy, so stats match within tolerance
-    baseline_jpegs = [r for r in ok if r["media_id"] in jpeg_ids]
-    assert baseline_jpegs
-    for r in baseline_jpegs:
+    # baseline AND progressive JPEG rows decode — lossy, so stats match
+    # within tolerance
+    decoded_jpegs = [r for r in ok if r["media_id"] in jpeg_ids]
+    assert decoded_jpegs
+    assert any(r["media_id"] % 4 == 2 for r in decoded_jpegs)  # progressive
+    for r in decoded_jpegs:
         i = r["media_id"]
         w, h = 8 + (i % 9), 8 + ((i * 3) % 9)
         px = np.array([(i * 7 + p) % 251 for p in range(w * h)], dtype=np.uint8)
