@@ -1236,17 +1236,19 @@ WHERE floor(({_COS_SQL}) * 1e6) IS NOT NULL
   AND floor(({_COS_SQL}) * 1e6) >= 950000
 """
 
-    # generated from textstats.LANG_MARKERS so Spark operator and oracle
-    # can never drift: per-language marker-hit sums, argmax with ties
-    # breaking by dict order (the Spark side's inverted-prio struct max)
-    from qwen_ocr_spark.operators.textstats import LANG_MARKERS
-    _langs = list(LANG_MARKERS)
+    # generated from textstats.LANG_TRIGRAMS so Spark operator and oracle
+    # can never drift: per-language trigram-occurrence sums over the padded
+    # lowered text, argmax with ties breaking by dict order (the Spark
+    # side's inverted-prio struct max).  length() is characters in both
+    # engines, so multi-byte trigrams ("ção") divide identically.
+    from qwen_ocr_spark.operators.textstats import LANG_TRIGRAMS
+    _langs = list(LANG_TRIGRAMS)
     _score_cols = ",\n    ".join(
         " + ".join(
-            f"CAST((length(pt) - length(replace(pt, ' {m} ', ''))) / {len(m) + 2} AS INT)"
-            for m in markers
+            f"CAST((length(pt) - length(replace(pt, '{t}', ''))) / {len(t)} AS INT)"
+            for t in trigrams
         ) + f" AS s_{lang}"
-        for lang, markers in LANG_MARKERS.items()
+        for lang, trigrams in LANG_TRIGRAMS.items()
     )
     _argmax = "\n       ".join(
         "WHEN " + " AND ".join(

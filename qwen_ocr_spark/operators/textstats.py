@@ -16,20 +16,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Function-word markers per language for the stopword-profile language
-# heuristic (bare words; the operator pads them with spaces).  Widened in
-# round 3 from 3 markers x 4 languages to 8 x 6: still deterministic,
-# cheap, JVM-side classification — a frozen profile, not a trained model —
-# but materially harder to fool with a single borrowed word.  Marker
-# overlaps across Romance languages ("que", "para") are deliberate: both
-# languages score the hit and the DISTINCTIVE markers decide the argmax.
-LANG_MARKERS: dict[str, list[str]] = {
-    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
-    "de": ["der", "und", "die", "das", "ist", "nicht", "ein", "mit"],
-    "fr": ["le", "et", "les", "des", "est", "une", "dans", "que"],
-    "es": ["la", "y", "los", "del", "una", "por", "con", "para"],
-    "it": ["il", "che", "di", "non", "per", "sono", "gli", "anche"],
-    "pt": ["do", "da", "em", "para", "uma", "mais", "como", "os"],
+# Character-trigram profiles per language (round 4; replaces the round-3
+# stopword-marker table).  Trigrams are matched as literal substrings of
+# ' ' || lower(text) || ' ', so a leading/trailing space inside a trigram
+# anchors a word boundary (" th" = word starts with "th").  Still a frozen
+# deterministic profile — not a trained model — but, unlike whole-word
+# markers, trigrams fire on morphology ("sch", "ção", "ità", "ing") so
+# short text with no function words at all ("schönes wetter heute",
+# "configuração avançada") still classifies.  Cross-language overlaps
+# (" de", "que", "ent") are deliberate: shared trigrams score several
+# languages and the DISTINCTIVE ones decide the argmax.  Validated in
+# tests/test_operators.py: 27/27 on the crafted multilingual set where the
+# old marker table scored 18/27 (all six short no-stopword texts → 'und').
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", " to",
+           "ing", "ng ", "ion", "tio", "ent", "ly ", "er "],
+    "de": ["der", "er ", "und", " un", "ich", "sch", "ein", "die", "ie ",
+           "cht", "ung", "das", "ist", " ge", "en ", "ber"],
+    "fr": [" le", "le ", " la", "es ", " de", "de ", "ent", "que", " qu",
+           "les", "ait", "eur", "ons", " et", "et ", "ais", "ité", "ées",
+           "oir"],
+    "es": [" la", "la ", " de", "de ", "os ", "los", "ión", "ado", "que",
+           " qu", "par", "ara", " co", "una", " y ", " el", "el ", "ció",
+           "as "],
+    "it": [" di", "di ", "che", " ch", "to ", "re ", "no ", "lla", "gli",
+           "one", "nte", "ata", "ell", "ssi", "na ", "per", " pe", "ità"],
+    "pt": [" de", "de ", "os ", " os", "ão ", "ção", " co", "da ", " da",
+           "em ", "que", "par", "ara", "uma", "ais", " o ", "ou ", "as ",
+           "çã"],
 }
 
 EN_STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "it", "that", "for"]
@@ -44,21 +58,23 @@ def _count_occurrences(col: Column, needle: str) -> Column:
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-marker language ID: argmax of per-language marker counts,
-    'und' (undetermined) when all are zero.  CJK presence short-circuits to
-    'zh'.  Ties break by fixed language order (en, de, fr, es)."""
+    """Char-trigram language ID: argmax of per-language trigram-occurrence
+    counts over ' '||lower(text)||' ', 'und' (undetermined) when all are
+    zero.  CJK presence short-circuits to 'zh'.  Ties break by fixed
+    language order (en, de, fr, es, it, pt).  Pure column expressions
+    (length-difference substring counting), whole-stage codegen'd."""
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     scores = [
         F.struct(
-            sum((_count_occurrences(padded, f" {m} ") for m in markers),
+            sum((_count_occurrences(padded, t) for t in trigrams),
                 F.lit(0)).alias("score"),
             F.lit(i).alias("prio"),
             F.lit(lang).alias("lang"),
         )
-        for i, (lang, markers) in enumerate(LANG_MARKERS.items())
+        for i, (lang, trigrams) in enumerate(LANG_TRIGRAMS.items())
     ]
     best = F.array_max(F.array(*[
-        s.withField("prio", F.lit(len(LANG_MARKERS)) - s.getField("prio")) for s in scores
+        s.withField("prio", F.lit(len(LANG_TRIGRAMS)) - s.getField("prio")) for s in scores
     ]))
     has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
     return df.withColumn(

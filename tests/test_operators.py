@@ -69,9 +69,35 @@ def test_lang_id_on_crafted_texts(docs):
     assert preds[7] == "und"
 
 
+def test_lang_id_trigram_short_text(spark):
+    """Round-4 trigram upgrade: short text with NO function words at all
+    classifies via morphology trigrams ("sch", "ção", "ità", "ion"/"tio").
+    Every one of these was 'und' (or wrong) under the round-3 whole-word
+    marker table — the trigram table's measured win is 27/27 vs 18/27 on
+    the combined crafted set (see LANG_TRIGRAMS docstring)."""
+    rows = [
+        (1, "schönes wetter heute"),
+        (2, "optimización rápida"),
+        (3, "fonctionnalités améliorées"),
+        (4, "disponibilità limitata"),
+        (5, "configuração avançada"),
+        (6, "tokenization performance"),
+        (7, "i risultati mostrano un miglioramento significativo"),
+        (8, "os resultados mostram uma melhoria significativa"),
+        (9, "les résultats montrent une amélioration significative"),
+        (10, "die wissenschaftliche forschung zeigt deutliche ergebnisse"),
+    ]
+    preds = {r["doc_id"]: r["pred_lang"]
+             for r in textstats.with_lang_id(spark.createDataFrame(
+                 pd.DataFrame(rows, columns=["doc_id", "text"]))).collect()}
+    assert preds == {1: "de", 2: "es", 3: "fr", 4: "it", 5: "pt", 6: "en",
+                     7: "it", 8: "pt", 9: "fr", 10: "de"}
+
+
 def test_lang_id_wider_profiles(spark):
-    """Round-3 marker widening: it/pt classify, and Romance languages with
-    overlapping function words ('que', 'para') still separate."""
+    """Round-3 marker widening (kept under the round-4 trigram table):
+    it/pt classify, and Romance languages with overlapping function words
+    ('que', 'para') still separate."""
     rows = [
         (1, "il gatto che non dorme sono felice per anche gli amici di casa"),
         (2, "como mais do que uma casa para os amigos em lisboa da cidade"),
