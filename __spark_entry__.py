@@ -392,7 +392,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
         .repartition(spark.sparkContext.defaultParallelism)
-    sh = dedup.word_shingles(docs)
+    # distinct=False: min-agg is duplicate-insensitive, so the shingle
+    # distinct (a full shuffle of every shingle string) is pure waste here
+    sh = dedup.word_shingles(docs, distinct=False)
     sigs = dedup.minhash_signatures(sh)
     return sigs.select(
         "doc_id",
@@ -402,7 +404,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dedup.word_shingles(_docs2(spark, sf_dir))
+    # distinct=False (min-agg ignores duplicates) drops the widest shuffle;
+    # lsh_candidate_pairs persists the tiny band relation for its self-join
+    sh = dedup.word_shingles(_docs2(spark, sf_dir), distinct=False)
     return dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh))
 
 

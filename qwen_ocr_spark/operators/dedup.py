@@ -98,11 +98,20 @@ def incremental_dedup(new_df: DataFrame, digest_path: str,
 
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  n: int = SHINGLE_N) -> DataFrame:
-    """Distinct word n-gram shingles per document (explode, no Python).
+                  n: int = SHINGLE_N, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document (explode, no Python).
 
     Sliding window over the whitespace token array via transform+slice on
-    indices — stays in codegen."""
+    indices — stays in codegen.
+
+    ``distinct=True`` (the default) dedups (doc, shingle) — required by
+    set semantics (n-gram Jaccard).  Pass ``distinct=False`` for
+    duplicate-insensitive consumers (MinHash's per-slot ``min`` gives the
+    same answer either way): the distinct is a full shuffle of the WIDEST
+    relation in the dedup family (every shingle string), and skipping it
+    lets the explode feed a map-side-combining aggregate directly — at
+    corpus scale that removes the single largest shuffle in the minhash
+    pipeline."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
@@ -110,10 +119,8 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingles = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-          .distinct()
-    )
+    out = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
@@ -131,8 +138,17 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         slots: int = MINHASH_SLOTS,
-                        bands: int = MINHASH_BANDS) -> DataFrame:
-    """Band the signature, self-join per band, emit distinct (a < b) pairs."""
+                        bands: int = MINHASH_BANDS,
+                        persist: bool = True,
+                        storage: list | None = None) -> DataFrame:
+    """Band the signature, self-join per band, emit distinct (a < b) pairs.
+
+    The stacked (id, band_key) relation feeds BOTH sides of the self-join;
+    ``persist=True`` caches it (``bands`` rows per document — tiny next to
+    the text) so the upstream scan → shingle explode → min-agg runs once
+    instead of twice — the same one-relation-both-sides shape the banded
+    ANN join uses (similarity.banded_buckets).  Pass a list as ``storage``
+    to receive the persisted intermediate for explicit ``unpersist()``."""
     rows_per_band = slots // bands
     band_cols = []
     for b in range(bands):
@@ -143,6 +159,10 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
     )
+    if persist:
+        stacked = stacked.persist()
+        if storage is not None:
+            storage.append(stacked)
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (
