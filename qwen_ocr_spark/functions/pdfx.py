@@ -34,7 +34,9 @@ The parser also handles **/Rotate 0/90/180/270 pages** (everything works
 in display coordinates; text whose net orientation — text matrix composed
 with the page rotation — is not display-horizontal is skipped, never
 misplaced).  The parser stays deliberately strict beyond that subset
-(notably: CID fonts require a ToUnicode CMap — no glyph-table fallback —
+(notably: CID fonts need either a ToUnicode CMap or an embedded TrueType
+program whose ``cmap`` table can be reversed under /CIDToGIDMap /Identity
+— no CFF/Type1 outline-font fallback —
 and no rotated/skewed individual text runs; multiple fonts per page
 resolve per run via the Tf name) and
 returns empty pages for anything else (error-channel semantics — a
@@ -97,10 +99,81 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _u16(v: int) -> bytes:
+    return (v & 0xFFFF).to_bytes(2, "big")
+
+
+def _u32(v: int) -> bytes:
+    return (v & 0xFFFFFFFF).to_bytes(4, "big")
+
+
+def _ttf_table_checksum(data: bytes) -> int:
+    data += b"\0" * (-len(data) % 4)
+    return sum(int.from_bytes(data[i:i + 4], "big")
+               for i in range(0, len(data), 4)) & 0xFFFFFFFF
+
+
+def _make_ttf(unicode_to_gid: dict[int, int]) -> bytes:
+    """Minimal valid TrueType font carrying a format-4 ``cmap`` that maps
+    each unicode code point to its glyph id (one segment per char + the
+    required 0xFFFF terminator, gid via idDelta arithmetic), plus
+    spec-complete ``head``/``maxp`` tables and a correct font-directory
+    checksum chain (OpenType spec structures only — no outlines; the
+    consumer here is cmap recovery for CID text extraction, not
+    rasterization)."""
+    codes = sorted(c for c in unicode_to_gid if 0 < c < 0xFFFF)
+    segs = [(c, c, (unicode_to_gid[c] - c) & 0xFFFF) for c in codes]
+    segs.append((0xFFFF, 0xFFFF, 1))  # required terminator
+    n = len(segs)
+    sel = max(0, n.bit_length() - 1)
+    search = (1 << sel) * 2
+    fmt4 = b"".join([
+        _u16(4), _u16(16 + 8 * n), _u16(0),      # format, length, language
+        _u16(n * 2), _u16(search), _u16(sel), _u16(n * 2 - search),
+        b"".join(_u16(e) for _, e, _d in segs), _u16(0),   # endCodes, pad
+        b"".join(_u16(s) for s, _e, _d in segs),           # startCodes
+        b"".join(_u16(d) for _s, _e, d in segs),           # idDelta
+        _u16(0) * n,                                       # idRangeOffset
+    ])
+    cmap = (_u16(0) + _u16(1)                  # version, one encoding record
+            + _u16(3) + _u16(1) + _u32(12)     # (windows, BMP) at offset 12
+            + fmt4)
+    head = b"".join([
+        _u32(0x00010000), _u32(0x00010000),    # version, fontRevision
+        _u32(0),                               # checkSumAdjustment (patched)
+        _u32(0x5F0F3CF5), _u16(0), _u16(1000),  # magic, flags, unitsPerEm
+        b"\0" * 16,                            # created/modified
+        _u16(0) * 4,                           # bbox
+        _u16(0), _u16(8),                      # macStyle, lowestRecPPEM
+        _u16(2), _u16(0), _u16(0),             # directionHint, locFmt, glyphFmt
+    ])
+    maxp = _u32(0x00010000) + _u16(max(unicode_to_gid.values(), default=0) + 1) \
+        + _u16(0) * 13
+    tables = [(b"cmap", cmap), (b"head", head), (b"maxp", maxp)]
+    offset = 12 + 16 * len(tables)
+    directory = b""
+    body = b""
+    head_off = None
+    for tag, data in tables:
+        if tag == b"head":
+            head_off = offset + len(body)
+        directory += tag + _u32(_ttf_table_checksum(data)) \
+            + _u32(offset + len(body)) + _u32(len(data))
+        body += data + b"\0" * (-len(data) % 4)
+    nt = len(tables)
+    sel = max(0, nt.bit_length() - 1)
+    search = (1 << sel) * 16
+    font = (_u32(0x00010000) + _u16(nt) + _u16(search) + _u16(sel)
+            + _u16(nt * 16 - search) + directory + body)
+    adj = (0xB1B0AFBA - _ttf_table_checksum(font)) & 0xFFFFFFFF
+    return font[:head_off + 8] + _u32(adj) + font[head_off + 12:]
+
+
 def make_pdf(pages: list[PageSpec], compress: bool = False,
              tj_arrays: bool = False, hex_strings: bool = False,
              xref_stream: bool = False, object_streams: bool = False,
              tm_positioning: bool = False, cid_font: bool = False,
+             cid_tounicode: bool = True,
              differences_encoding: bool = False, lzw: bool = False,
              png_predictor: bool = False,
              inline_images: bool = False) -> bytes:
@@ -131,6 +204,13 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
       entries over the document's subset charset, glyph ids assigned by
       subset order exactly like real font subsetters) — the layout
       LibreOffice/Chrome-print/word-processor PDFs ship.
+    * ``cid_tounicode=False`` (with ``cid_font``) — the same composite
+      font WITHOUT a ``/ToUnicode`` CMap: instead an embedded TrueType
+      program (``/FontDescriptor`` → ``/FontFile2``, a minimal real TTF
+      with a format-4 ``cmap``) carries the unicode↔glyph mapping, and
+      ``/CIDToGIDMap /Identity`` makes text recoverable by reversing it —
+      the scanned/OCR-PDF layout where extraction must read the font
+      itself.
     * ``differences_encoding`` — a fully-remapped simple font: every char
       gets a custom single-byte code (assigned in charset order from
       0x21) declared by an indirect ``/Encoding`` object's
@@ -206,7 +286,27 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
     def add_stream(dict_prefix: str, payload: bytes) -> int:
         return add(stream_obj(dict_prefix, payload), stream=True)
 
-    if cid_font:
+    if cid_font and not cid_tounicode:
+        # no ToUnicode: the unicode↔gid mapping lives only in the embedded
+        # TrueType program's cmap; extraction must reverse it (the
+        # scanned/OCR-PDF layout)
+        ttf = _make_ttf({ord(ch): gid for ch, gid in gid_of.items()})
+        ff_num = add_stream(f"/Length1 {len(ttf)}", ttf)
+        fd_num = add(
+            f"<< /Type /FontDescriptor /FontName /SynthCID /Flags 4 "
+            f"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+            f"/Descent -200 /CapHeight 700 /StemV 80 "
+            f"/FontFile2 {ff_num} 0 R >>".encode())
+        desc_num = add(
+            f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
+            f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            f"/Supplement 0 >> /FontDescriptor {fd_num} 0 R "
+            f"/CIDToGIDMap /Identity >>".encode())
+        font_num = add(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+            f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+            f">>".encode())
+    elif cid_font:
         # ToUnicode CMap: one bfchar entry per subset glyph (dst = UTF-16BE)
         bfchars = "\n".join(
             f"<{gid:04X}> <{ord(ch):04X}>" for ch, gid in gid_of.items())
@@ -851,6 +951,117 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return cmap
 
 
+def _ttf_unicode_to_gid(ttf: bytes) -> dict[int, int]:
+    """Embedded TrueType program → {unicode: glyph id} from its ``cmap``
+    table.  Understands subtable formats 4 (segment delta/rangeOffset — the
+    overwhelmingly common BMP form), 6 (trimmed array) and 12 (segmented
+    coverage, full unicode).  Prefers a (3,10)/(0,4) full-repertoire
+    record, then (3,1)/(0,3) BMP.  Anything malformed returns {} — the
+    caller treats that as "no mapping recoverable", never an error."""
+    try:
+        u16 = lambda o: int.from_bytes(ttf[o:o + 2], "big")  # noqa: E731
+        u32 = lambda o: int.from_bytes(ttf[o:o + 4], "big")  # noqa: E731
+        cm = None
+        for i in range(u16(4)):
+            e = 12 + 16 * i
+            if ttf[e:e + 4] == b"cmap":
+                cm = u32(e + 8)
+                break
+        if cm is None:
+            return {}
+        best, best_rank = None, -1
+        for i in range(u16(cm + 2)):
+            r = cm + 4 + 8 * i
+            rank = {(3, 10): 3, (0, 4): 3, (3, 1): 2, (0, 3): 2}.get(
+                (u16(r), u16(r + 2)), 0)
+            if rank > best_rank:
+                best_rank, best = rank, cm + u32(r + 4)
+        if best is None:
+            return {}
+        out: dict[int, int] = {}
+        fmt = u16(best)
+        if fmt == 4:
+            n = u16(best + 6) // 2
+            ends = best + 14
+            starts = ends + 2 * n + 2
+            deltas = starts + 2 * n
+            ranges = deltas + 2 * n
+            for i in range(n):
+                s, e = u16(starts + 2 * i), u16(ends + 2 * i)
+                if not s <= e or e - s > 0xFFFF:
+                    continue
+                delta, ro = u16(deltas + 2 * i), u16(ranges + 2 * i)
+                for c in range(s, e + 1):
+                    if c == 0xFFFF:
+                        continue
+                    if ro == 0:
+                        gid = (c + delta) & 0xFFFF
+                    else:
+                        gid = u16(ranges + 2 * i + ro + 2 * (c - s))
+                        if gid:
+                            gid = (gid + delta) & 0xFFFF
+                    if gid:
+                        out[c] = gid
+        elif fmt == 6:
+            first, cnt = u16(best + 6), u16(best + 8)
+            for i in range(min(cnt, 0x10000)):
+                gid = u16(best + 10 + 2 * i)
+                if gid:
+                    out[first + i] = gid
+        elif fmt == 12:
+            for i in range(min(u32(best + 12), 0x10000)):
+                g = best + 16 + 12 * i
+                s, e, gid0 = u32(g), u32(g + 4), u32(g + 8)
+                if not s <= e or e - s > 0xFFFF:
+                    continue
+                for k in range(e - s + 1):
+                    if gid0 + k:
+                        out[s + k] = gid0 + k
+        return out
+    except Exception:
+        return {}
+
+
+def _fallback_cid_map(fobj: bytes, objs: dict[int, bytes]
+                      ) -> dict[int, str]:
+    """Type0 font WITHOUT /ToUnicode → {glyph id: char} recovered from the
+    descendant font's embedded TrueType program (the scanned/OCR-PDF
+    layout poppler handled for the reference via FreeType,
+    /root/reference/src/pdf_handler.py:44-55).  Valid only when
+    /CIDToGIDMap is /Identity (or absent — Identity is the spec default),
+    so CIDs in the content stream ARE glyph ids and reversing the font's
+    unicode→gid cmap recovers text.  Lowest code point wins when several
+    map to one glyph (deterministic).  {} when any link is missing."""
+    dm = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+0\s+R", fobj)
+    if not dm:
+        im = re.search(rb"/DescendantFonts\s+(\d+)\s+0\s+R", fobj)
+        if not im:
+            return {}
+        am = re.search(rb"(\d+)\s+0\s+R", objs.get(int(im.group(1)), b""))
+        if not am:
+            return {}
+        dnum = int(am.group(1))
+    else:
+        dnum = int(dm.group(1))
+    dobj = objs.get(dnum, b"")
+    c2g = re.search(rb"/CIDToGIDMap\s*/?(\w+)", dobj)
+    if c2g and c2g.group(1) != b"Identity":
+        return {}
+    fd = re.search(rb"/FontDescriptor\s+(\d+)\s+0\s+R", dobj)
+    if not fd:
+        return {}
+    ff = re.search(rb"/FontFile2\s+(\d+)\s+0\s+R",
+                   objs.get(int(fd.group(1)), b""))
+    if not ff:
+        return {}
+    ttf = _stream_bytes(objs.get(int(ff.group(1)), b""), objs)
+    out: dict[int, str] = {}
+    u2g = _ttf_unicode_to_gid(ttf)
+    for code in sorted(u2g):
+        out.setdefault(u2g[code], chr(code))
+    return out
+
+
 def _parse_differences(enc_body: bytes) -> dict[int, str] | None:
     """/Encoding dict body → {code: char} from its /Differences array
     (``[ 33 /A /eacute 200 /uni6A21 … ]``: an integer sets the next code,
@@ -894,6 +1105,12 @@ def _page_cmaps(body: bytes, objs: dict[int, bytes]
         if re.search(rb"/Subtype\s*/Type0", fobj):
             tm_ = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fobj)
             if not tm_:
+                # no ToUnicode CMap: recover the mapping from the embedded
+                # TrueType program's cmap (scanned/OCR-PDF layout).  A
+                # Type0 font with NO recoverable mapping still registers —
+                # with an empty map — so its glyph-index operands decode
+                # to nothing (dropped run) instead of raw-byte mojibake.
+                out[name.decode()] = ("cid", _fallback_cid_map(fobj, objs))
                 continue
             out[name.decode()] = ("cid", _parse_tounicode(
                 _stream_bytes(objs.get(int(tm_.group(1)), b""), objs)))

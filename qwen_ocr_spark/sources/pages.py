@@ -171,8 +171,9 @@ def _pdf_doc(r: random.Random, doc_id: int, max_pages: int = 14) -> tuple[bytes,
     # streams, many emit TJ kerned arrays, hex string operands, PDF 1.5
     # xref streams, and object-stream packing; round 4 adds simple-font
     # /Encoding /Differences remapping, LZWDecode filters, PNG-predictored
-    # streams, and inline BI/ID/EI images — extraction is invariant to all
-    # nine axes (golden-tested)
+    # streams, inline BI/ID/EI images, and CID fonts whose text mapping
+    # lives only in the embedded TrueType cmap (no /ToUnicode) —
+    # extraction is invariant to all ten axes (golden-tested)
     cid = doc_id % 17 == 0
     return (
         make_pdf(pages, compress=doc_id % 2 == 0, tj_arrays=doc_id % 3 == 0,
@@ -180,6 +181,7 @@ def _pdf_doc(r: random.Random, doc_id: int, max_pages: int = 14) -> tuple[bytes,
                  object_streams=doc_id % 7 == 0,
                  tm_positioning=doc_id % 13 == 0,
                  cid_font=cid,
+                 cid_tounicode=not (cid and doc_id % 2 == 1),
                  differences_encoding=doc_id % 23 == 0 and not cid,
                  lzw=doc_id % 29 == 0,
                  png_predictor=doc_id % 31 == 0,

@@ -213,6 +213,10 @@ to the discussion with even more words of content.</p>
                  "Beyond Latin-1 via uniXXXX names: 模型 ½ × ¾."], y0=140)])]
     pdf_case("pdf_differences_unicode", diff_uni_spec,
              differences_encoding=True)
+    # CID font with NO ToUnicode CMap: text recovered by reversing the
+    # embedded TrueType program's format-4 cmap (the scanned/OCR layout)
+    pdf_case("pdf_cid_no_tounicode", flate_spec, cid_font=True,
+             cid_tounicode=False, compress=True)
     pdf_case("pdf_lzw", flate_spec, lzw=True)
     pdf_case("pdf_predictor", flate_spec, compress=True, png_predictor=True)
     pdf_case("pdf_inline_images", flate_spec, inline_images=True,

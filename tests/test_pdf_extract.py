@@ -542,3 +542,72 @@ def test_mixed_simple_and_cid_fonts_per_page():
     runs = parse_pdf(bytes(out))[0].runs
     texts = [r.text for r in sorted(runs, key=lambda r: r.y)]
     assert texts == ["plain words here", "HI"]
+
+
+def test_cid_font_no_tounicode_roundtrip():
+    """Type0 font with NO /ToUnicode: text recovered by reversing the
+    embedded TrueType program's cmap under /CIDToGIDMap /Identity (the
+    scanned/OCR-PDF layout).  Exercised across plain, compressed and
+    ObjStm-packed containers."""
+    pages = [PageSpec(texts=[TextSpec(72, 700, 12, "Héllo CID wörld"),
+                             TextSpec(72, 650, 12, "second line no cmap")])]
+    want = ["Héllo CID wörld", "second line no cmap"]
+    for kw in ({}, {"compress": True}, {"object_streams": True}):
+        pdf = make_pdf(pages, cid_font=True, cid_tounicode=False, **kw)
+        assert b"/ToUnicode" not in pdf and b"/FontFile2" in pdf
+        got = [r.text for r in parse_pdf(pdf)[0].runs]
+        assert got == want, (kw, got)
+
+
+def test_cid_font_no_mapping_at_all_is_skipped():
+    """Type0 with neither /ToUnicode nor a usable FontFile2: the run is
+    skipped (error-channel semantics), never mojibake."""
+    pdf = make_pdf([PageSpec(texts=[TextSpec(72, 700, 12, "gone")])],
+                   cid_font=True, cid_tounicode=False)
+    # sever the font-program link: the descendant keeps /FontDescriptor
+    # but the descriptor loses /FontFile2
+    patched = pdf.replace(b"/FontFile2", b"/FontFileX", 1)
+    assert [r.text for r in parse_pdf(patched)[0].runs] == []
+
+
+def test_ttf_cmap_subtable_formats():
+    """_ttf_unicode_to_gid understands the cmap subtable forms real fonts
+    ship: format 4 via idRangeOffset/glyphIdArray (not just the idDelta
+    arithmetic _make_ttf emits), format 6 trimmed arrays, and format 12
+    segmented coverage."""
+    from qwen_ocr_spark.functions.pdfx import (_ttf_unicode_to_gid, _u16,
+                                               _u32, _ttf_table_checksum)
+
+    def wrap(subtable: bytes, pid: int = 3, eid: int = 1) -> bytes:
+        cmap = _u16(0) + _u16(1) + _u16(pid) + _u16(eid) + _u32(12) + subtable
+        directory = (b"cmap" + _u32(_ttf_table_checksum(cmap)) + _u32(28)
+                     + _u32(len(cmap)))
+        return _u32(0x00010000) + _u16(1) + _u16(16) + _u16(0) + _u16(0) \
+            + directory + cmap
+
+    # format 4, one segment 0x41..0x43 mapped through glyphIdArray to
+    # gids 7,9,8 (non-contiguous — idDelta alone cannot express this)
+    n = 2  # data segment + 0xFFFF terminator
+    fmt4 = b"".join([
+        _u16(4), _u16(16 + 8 * n + 6), _u16(0), _u16(n * 2),
+        _u16(4), _u16(1), _u16(0),
+        _u16(0x43), _u16(0xFFFF), _u16(0),       # endCodes + pad
+        _u16(0x41), _u16(0xFFFF),                # startCodes
+        _u16(0), _u16(1),                        # idDelta
+        # idRangeOffset: seg0 points 4 bytes ahead (past seg1's slot) into
+        # the glyphIdArray; seg1 unused
+        _u16(4), _u16(0),
+        _u16(7), _u16(9), _u16(8),               # glyphIdArray
+    ])
+    assert _ttf_unicode_to_gid(wrap(fmt4)) == {0x41: 7, 0x42: 9, 0x43: 8}
+
+    fmt6 = _u16(6) + _u16(10 + 6) + _u16(0) + _u16(0x61) + _u16(3) \
+        + _u16(5) + _u16(0) + _u16(6)            # gid 0 entries are absent
+    assert _ttf_unicode_to_gid(wrap(fmt6)) == {0x61: 5, 0x63: 6}
+
+    fmt12 = _u32(0x000C0000)[:2] + _u16(0) + _u32(16 + 12) + _u32(0) \
+        + _u32(1) + _u32(0x1F600) + _u32(0x1F602) + _u32(40)
+    assert _ttf_unicode_to_gid(wrap(fmt12, 3, 10)) == {
+        0x1F600: 40, 0x1F601: 41, 0x1F602: 42}
+
+    assert _ttf_unicode_to_gid(b"garbage") == {}
