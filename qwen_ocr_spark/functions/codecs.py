@@ -4,13 +4,16 @@ This container ships no PIL/libav, but several real-world formats are
 decodable with nothing beyond ``zlib``/``wave``/``struct`` + numpy — so
 the multimodal operators decode them FOR REAL instead of stubbing:
 
-* PNG  — 8-bit depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA), all five
-         scanline filters, non-interlaced (the overwhelming majority of
-         crawl PNGs; Adam7 + 16-bit raise ``UnsupportedVariant`` into the
+* PNG  — 8- and 16-bit depth, color types 0 (gray) / 2 (RGB) / 4
+         (gray+alpha) / 6 (RGBA), all five scanline filters, sequential or
+         Adam7-interlaced (round 4; palette and sub-8-bit depths — rare in
+         crawl figures — raise ``UnsupportedVariant`` into the
          row error channel).
-* JPEG — baseline sequential (SOF0/1): gray or YCbCr, any sampling
-         factors incl. 4:2:0, restart intervals, tables read from the
-         file; progressive/arithmetic/12-bit raise ``UnsupportedVariant``.
+* JPEG — baseline sequential (SOF0/1) AND progressive (SOF2:
+         spectral-selection + successive-approximation scans): gray or
+         YCbCr, any sampling factors incl. 4:2:0, restart intervals,
+         tables read from the file; arithmetic/12-bit raise
+         ``UnsupportedVariant``.
 * BMP  — uncompressed 24-bit BI_RGB, bottom-up or top-down.
 * PGM  — binary P5, maxval <= 255.
 * WAV  — PCM via the stdlib ``wave`` module (8/16/32-bit).
@@ -53,11 +56,61 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _defilter(raw: bytes, pos: int, w: int, h: int, fu: int
+              ) -> tuple[np.ndarray, int]:
+    """Defilter ``h`` scanlines of ``w * fu`` bytes each (``fu`` = filter
+    unit: channels x bytes-per-sample — the "left" pixel distance the PNG
+    filters operate on) starting at ``raw[pos]``.  Returns the recovered
+    byte rows (h, w*fu) and the new position."""
+    stride = w * fu
+    if len(raw) - pos < h * (stride + 1):
+        raise ValueError("PNG data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if f == 0:
+            pass
+        elif f == 1:    # Sub: + left
+            for i in range(fu, stride):
+                line[i] = (line[i] + line[i - fu]) & 0xFF
+        elif f == 2:    # Up: + above
+            line = bytearray((np.frombuffer(bytes(line), np.uint8)
+                              + prev).astype(np.uint8).tobytes())
+        elif f == 3:    # Average
+            for i in range(stride):
+                left = line[i - fu] if i >= fu else 0
+                line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:    # Paeth
+            for i in range(stride):
+                left = line[i - fu] if i >= fu else 0
+                ul = int(prev[i - fu]) if i >= fu else 0
+                line[i] = (line[i] + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = np.frombuffer(bytes(line), np.uint8)
+        prev = out[y]
+    return out, pos
+
+
 def decode_png(data: bytes) -> np.ndarray:
+    """8- or 16-bit, gray / gray+alpha / RGB / RGBA, all five scanline
+    filters, sequential or Adam7-interlaced.  16-bit samples come back as
+    uint16 (big-endian in the file, native order in the array); everything
+    else uint8.  Sub-8-bit depths and palette PNGs raise
+    ``UnsupportedVariant`` into the row-level error channel."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat = 8, []
     w = h = ct = None
+    depth = interlace = 0
     while pos + 8 <= len(data):
         ln = int.from_bytes(data[pos:pos + 4], "big")
         typ = data[pos + 4:pos + 8]
@@ -66,10 +119,11 @@ def decode_png(data: bytes) -> np.ndarray:
         if typ == b"IHDR":
             w, h = (int.from_bytes(chunk[0:4], "big"),
                     int.from_bytes(chunk[4:8], "big"))
-            bit_depth, ct, interlace = chunk[8], chunk[9], chunk[12]
-            if bit_depth != 8 or ct not in (0, 2, 6) or interlace:
+            depth, ct, interlace = chunk[8], chunk[9], chunk[12]
+            if depth not in (8, 16) or ct not in (0, 2, 4, 6) \
+                    or interlace not in (0, 1):
                 raise UnsupportedVariant(
-                    f"unsupported PNG variant (depth={bit_depth}, "
+                    f"unsupported PNG variant (depth={depth}, "
                     f"color={ct}, interlace={interlace})")
         elif typ == b"IDAT":
             idat.append(chunk)
@@ -77,40 +131,32 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    ch = {0: 1, 2: 3, 6: 4}[ct]
-    stride = w * ch
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    sb = depth // 8
+    fu = ch * sb
+    dt = ">u2" if depth == 16 else np.uint8
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) < h * (stride + 1):
-        raise ValueError("PNG data truncated")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(h):
-        f = raw[pos]
-        line = bytearray(raw[pos + 1:pos + 1 + stride])
-        pos += 1 + stride
-        if f == 0:
-            pass
-        elif f == 1:    # Sub: + left
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif f == 2:    # Up: + above
-            line = bytearray((np.frombuffer(bytes(line), np.uint8)
-                              + prev).astype(np.uint8).tobytes())
-        elif f == 3:    # Average
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:    # Paeth
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                ul = int(prev[i - ch]) if i >= ch else 0
-                line[i] = (line[i] + _paeth(left, int(prev[i]), ul)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-        out[y] = np.frombuffer(bytes(line), np.uint8)
-        prev = out[y]
-    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+    def rows_to_samples(rows: np.ndarray, wp: int, hp: int) -> np.ndarray:
+        return np.frombuffer(rows.tobytes(), dtype=dt).reshape(hp, wp, ch)
+
+    if not interlace:
+        rows, _ = _defilter(raw, 0, w, h, fu)
+        out = rows_to_samples(rows, w, h)
+    else:
+        out = np.zeros((h, w, ch),
+                       dtype=np.uint16 if depth == 16 else np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # pass empty for this image size: zero bytes
+            rows, pos = _defilter(raw, pos, wp, hp, fu)
+            out[y0::dy, x0::dx, :] = rows_to_samples(rows, wp, hp)
+    if depth == 16:
+        out = out.astype(np.uint16)
+    return out.reshape(h, w) if ch == 1 else out
 
 
 def _png_chunk(typ: bytes, payload: bytes) -> bytes:
@@ -118,20 +164,35 @@ def _png_chunk(typ: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Deterministic PNG writer: filter 0, fixed zlib level."""
-    img = np.asarray(img, dtype=np.uint8)
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Deterministic PNG writer: filter 0, fixed zlib level.  uint16 input
+    writes 16-bit big-endian samples; ``interlace=True`` emits Adam7
+    passes (each pass's scanlines filtered independently, per spec)."""
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = img.astype(">u2" if depth == 16 else np.uint8)
     if img.ndim == 2:
         ct, ch = 0, 1
         h, w = img.shape
-    elif img.ndim == 3 and img.shape[2] in (3, 4):
-        ct, ch = (2, 3) if img.shape[2] == 3 else (6, 4)
+        img = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
+        ct = {2: 4, 3: 2, 4: 6}[img.shape[2]]
+        ch = img.shape[2]
         h, w = img.shape[:2]
     else:
         raise ValueError(f"unsupported shape {img.shape}")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
-    flat = img.reshape(h, w * ch)
-    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, int(interlace))
+    if not interlace:
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes()
+                         for y in range(sub.shape[0]))
+        raw = b"".join(parts)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(raw, 6))
             + _png_chunk(b"IEND", b""))

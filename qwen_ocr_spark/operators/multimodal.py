@@ -10,13 +10,14 @@ Decoders (``functions/codecs.py``, pure stdlib + numpy — no PIL/ffmpeg in
 this container, and none needed for these formats):
 * RAWGRAY (width*height single-byte pixels, the same bytes the PDF path
   stores for figure XObjects) — numpy view;
-* PNG (8-bit gray/RGB/RGBA, all filters), BMP (24-bit), PGM — real
-  container parsing + inflate;
+* PNG (8/16-bit gray/gray+alpha/RGB/RGBA, all filters, sequential or
+  Adam7-interlaced — round 4), BMP (24-bit), PGM — real container
+  parsing + inflate;
 * WAV (PCM) — stdlib ``wave``;
 * baseline AND progressive JPEG (huffman + IDCT + 4:2:0/4:2:2 chroma,
   restart intervals; spectral-selection + successive-approximation scans)
   — the pure-numpy decoder in ``functions/codecs.py``;
-* anything else (arithmetic/12-bit JPEG, interlaced/16-bit PNG, formats
+* anything else (arithmetic/12-bit JPEG, palette/sub-8-bit PNG, formats
   with no decoder here) raises ``UnsupportedCodec`` inside the row-level
   error channel — the clearly-marked stub seam where a full codec library
   plugs in.
@@ -44,10 +45,11 @@ MEDIA_SCHEMA = (
 
 class UnsupportedCodec(NotImplementedError):
     """STUB SEAM: raised for codecs/variants this container cannot decode.
-    Round 3's baseline-JPEG decoder and round 4's progressive scans
-    (functions/codecs.py) narrowed this seam to arithmetic/12-bit JPEG,
-    interlaced/16-bit PNG, and formats with no decoder at all (no
-    PIL/libav here).  Replace by a full codec lib in deployment."""
+    Round 3's baseline-JPEG decoder and round 4's progressive scans +
+    interlaced/16-bit PNG (functions/codecs.py) narrowed this seam to
+    arithmetic/12-bit JPEG, palette/sub-8-bit PNG, and formats with no
+    decoder at all (no PIL/libav here).  Replace by a full codec lib in
+    deployment."""
 
 
 def _decode_gray(codec: str, payload: bytes, w: int, h: int) -> np.ndarray:
@@ -109,7 +111,11 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
                     rows.append((i, "video", "RAWGRAY", frames,
                                  (w, h, n_frames, 0)))
                 elif i % 11 == 4:
-                    rows.append((i, "image", "PNG", codecs.encode_png(px),
+                    # half the PNGs are Adam7-interlaced (round 4): decodes
+                    # to identical pixels, so invariance covers both forms
+                    rows.append((i, "image", "PNG",
+                                 codecs.encode_png(px,
+                                                   interlace=i % 2 == 0),
                                  (w, h, 1, 0)))
                 elif i % 11 == 6:
                     rows.append((i, "image", "BMP", codecs.encode_bmp(px),

@@ -61,11 +61,35 @@ def test_png_all_filters_decode():
     assert np.array_equal(codecs.decode_png(data), img)
 
 
+def test_png_interlaced_and_16bit_roundtrip():
+    """Round-4 widening: Adam7 interlacing and 16-bit depth decode exactly,
+    across gray / gray+alpha / RGB / RGBA and including sizes where some
+    Adam7 passes are empty (1x1, narrow strips)."""
+    rng = np.random.default_rng(7)
+    shapes = [(23, 17), (23, 17, 2), (23, 17, 3), (23, 17, 4),
+              (1, 1, 3), (7, 3), (3, 9, 4)]
+    for shape in shapes:
+        for dt, hi in ((np.uint8, 256), (np.uint16, 65536)):
+            img = rng.integers(0, hi, shape, dtype=dt)
+            for il in (False, True):
+                back = codecs.decode_png(codecs.encode_png(img, interlace=il))
+                assert back.dtype == img.dtype and back.shape == img.shape
+                assert np.array_equal(back, img), (shape, dt, il)
+
+
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError):
         codecs.decode_png(b"\x89PNG\r\n\x1a\njunk")
     with pytest.raises(ValueError):
         codecs.decode_png(b"GIF89a")
+    # palette (color type 3) and sub-8-bit depths stay the honest seam
+    for depth, ct in ((8, 3), (4, 0), (1, 0)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, 0)
+        bad = (codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr)
+               + codecs._png_chunk(b"IDAT", zlib.compress(b"\0" * 8))
+               + codecs._png_chunk(b"IEND", b""))
+        with pytest.raises(codecs.UnsupportedVariant):
+            codecs.decode_png(bad)
 
 
 def test_bmp_roundtrip_and_gray():
