@@ -317,7 +317,9 @@ def simhash_chunk_bounds(radius: int, sig_bits: int = 32) -> list[tuple[int, int
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       radius: int = SIMHASH_RADIUS) -> DataFrame:
+                       radius: int = SIMHASH_RADIUS,
+                       persist: bool = True,
+                       storage: list | None = None) -> DataFrame:
     """SimHash neighbor search: (id_a < id_b, hamming) pairs within radius.
 
     Pigeonhole bucketing: the 32-bit signature splits into ``radius + 1``
@@ -326,7 +328,13 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     chunk, so candidates = equi-join on (chunk_idx, chunk bits) —
     sub-quadratic like the MinHash band join — then the exact distance
     check is one bit_count(xor) per candidate.  Bucket count per chunk is
-    2^chunk_width; scale radius/signature width together."""
+    2^chunk_width; scale radius/signature width together.
+
+    The stacked (id, sig, chunk_key) relation feeds BOTH self-join sides;
+    ``persist=True`` caches it (radius+1 small rows per document) so the
+    full-text simhash computation runs once, not twice — the same
+    one-relation-both-sides shape as lsh_candidate_pairs.  Pass a list as
+    ``storage`` to receive the persisted handle for ``unpersist()``."""
     sig = simhash32(df, id_col, text_col)
     sig = sig.select(
         F.col(id_col), "simhash",
@@ -339,6 +347,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     stacked = sig.select(
         F.col(id_col), "sig_int", F.explode(chunk_keys).alias("chunk_key")
     )
+    if persist:
+        stacked = stacked.persist()
+        if storage is not None:
+            storage.append(stacked)
     l, r = stacked.alias("l"), stacked.alias("r")
     pairs = (
         l.join(r, on="chunk_key")
