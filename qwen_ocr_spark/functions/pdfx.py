@@ -1208,6 +1208,11 @@ _PDF_UNESCAPE = {
 
 
 def _unescape_pdf_string(s: str) -> str:
+    """PDF literal-string escapes: the named set (\\n \\r \\t \\b \\f
+    \\( \\) \\\\), 1-3 digit octal codes (\\050 → '(' — how legacy
+    writers emit every non-ASCII Latin-1 byte), backslash-EOL line
+    continuation (spliced out, both \\n and \\r\\n forms), and the
+    spec's lone-backslash rule (unknown escape → the char itself)."""
     if "\\" not in s:  # fast path: the overwhelmingly common case
         return s
     out = []
@@ -1216,8 +1221,19 @@ def _unescape_pdf_string(s: str) -> str:
         c = s[i]
         if c == "\\" and i + 1 < len(s):
             nxt = s[i + 1]
-            out.append(_PDF_UNESCAPE.get(nxt, nxt))
-            i += 2
+            if nxt in "01234567":
+                j = i + 1
+                while j < min(i + 4, len(s)) and s[j] in "01234567":
+                    j += 1
+                out.append(chr(int(s[i + 1:j], 8) & 0xFF))
+                i = j
+            elif nxt == "\n":
+                i += 2      # line continuation: splice
+            elif nxt == "\r":
+                i += 3 if s[i + 2:i + 3] == "\n" else 2
+            else:
+                out.append(_PDF_UNESCAPE.get(nxt, nxt))
+                i += 2
         else:
             out.append(c)
             i += 1

@@ -611,3 +611,25 @@ def test_ttf_cmap_subtable_formats():
         0x1F600: 40, 0x1F601: 41, 0x1F602: 42}
 
     assert _ttf_unicode_to_gid(b"garbage") == {}
+
+
+def test_literal_string_octal_and_continuation_escapes():
+    """PDF literal-string escapes beyond the named set: 1-3 digit octal
+    codes (how legacy writers emit every non-ASCII Latin-1 byte) and
+    backslash-EOL line continuation.  End-to-end through parse_pdf."""
+    from qwen_ocr_spark.functions.pdfx import _unescape_pdf_string
+    assert _unescape_pdf_string(r"caf\351 na\357ve") == "café naïve"
+    assert _unescape_pdf_string(r"\050paren\051 \134") == "(paren) \\"
+    assert _unescape_pdf_string("split\\\nline") == "splitline"
+    assert _unescape_pdf_string("split\\\r\nline") == "splitline"
+    assert _unescape_pdf_string(r"\0501") == "(1"     # 3-digit stops at 3
+    assert _unescape_pdf_string(r"\53") == "+"        # 2-digit octal
+
+    # end-to-end: swap the literal for an equal-LENGTH escaped form so the
+    # uncompressed stream's /Length stays valid
+    base = make_pdf([PageSpec(texts=[TextSpec(72, 700, 12, "PLACEHOLDER")])])
+    repl = rb"(caf\351 \50)"
+    assert len(repl) == len(b"(PLACEHOLDER)")
+    patched = base.replace(b"(PLACEHOLDER)", repl)
+    runs = parse_pdf(patched)[0].runs
+    assert runs[0].text == "café ("
