@@ -4,11 +4,11 @@ This container ships no PIL/libav, but several real-world formats are
 decodable with nothing beyond ``zlib``/``wave``/``struct`` + numpy — so
 the multimodal operators decode them FOR REAL instead of stubbing:
 
-* PNG  — 8- and 16-bit depth, color types 0 (gray) / 2 (RGB) / 4
-         (gray+alpha) / 6 (RGBA), all five scanline filters, sequential or
-         Adam7-interlaced (round 4; palette and sub-8-bit depths — rare in
-         crawl figures — raise ``UnsupportedVariant`` into the
-         row error channel).
+* PNG  — complete pixel-format coverage (round 4): 1/2/4/8/16-bit depth,
+         color types 0 (gray) / 2 (RGB) / 3 (palette, with tRNS alpha) /
+         4 (gray+alpha) / 6 (RGBA), all five scanline filters, sequential
+         or Adam7-interlaced; spec-invalid depth/type combinations raise
+         ``UnsupportedVariant`` into the row error channel.
 * JPEG — baseline sequential (SOF0/1) AND progressive (SOF2:
          spectral-selection + successive-approximation scans): gray or
          YCbCr, any sampling factors incl. 4:2:0, restart intervals,
@@ -100,16 +100,31 @@ def _defilter(raw: bytes, pos: int, w: int, h: int, fu: int
     return out, pos
 
 
+def _defilter_sub8(raw: bytes, pos: int, w: int, h: int, depth: int
+                   ) -> tuple[np.ndarray, int]:
+    """Defilter + bit-unpack ``h`` scanlines of ``w`` sub-8-bit samples
+    (depth 1/2/4, one channel).  The PNG filters operate on the packed
+    BYTES with filter unit 1; samples unpack big-endian-first per byte."""
+    stride = (w * depth + 7) // 8
+    rows, pos = _defilter(raw, pos, stride, h, 1)
+    bits = np.unpackbits(rows, axis=1)[:, :w * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    out = (bits.reshape(h, w, depth) * weights).sum(axis=2).astype(np.uint8)
+    return out[:, :, None], pos
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """8- or 16-bit, gray / gray+alpha / RGB / RGBA, all five scanline
-    filters, sequential or Adam7-interlaced.  16-bit samples come back as
-    uint16 (big-endian in the file, native order in the array); everything
-    else uint8.  Sub-8-bit depths and palette PNGs raise
-    ``UnsupportedVariant`` into the row-level error channel."""
+    """1/2/4/8/16-bit, gray / gray+alpha / RGB / RGBA / palette, all five
+    scanline filters, sequential or Adam7-interlaced.  16-bit samples come
+    back as uint16 (big-endian in the file, native order in the array);
+    everything else uint8.  Sub-8-bit gray scales to the full 0-255 range
+    (the standard display convention); palette indices resolve through
+    PLTE to RGB — or RGBA when a tRNS chunk carries per-entry alpha."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat = 8, []
     w = h = ct = None
+    plte = trns = None
     depth = interlace = 0
     while pos + 8 <= len(data):
         ln = int.from_bytes(data[pos:pos + 4], "big")
@@ -120,29 +135,43 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h = (int.from_bytes(chunk[0:4], "big"),
                     int.from_bytes(chunk[4:8], "big"))
             depth, ct, interlace = chunk[8], chunk[9], chunk[12]
-            if depth not in (8, 16) or ct not in (0, 2, 4, 6) \
-                    or interlace not in (0, 1):
+            ok = (interlace in (0, 1)
+                  and ((ct in (0, 3) and depth in (1, 2, 4, 8))
+                       or (ct == 0 and depth == 16)
+                       or (ct in (2, 4, 6) and depth in (8, 16))))
+            if not ok:
                 raise UnsupportedVariant(
                     f"unsupported PNG variant (depth={depth}, "
                     f"color={ct}, interlace={interlace})")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk[:len(chunk) // 3 * 3],
+                                 np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(chunk, np.uint8)
         elif typ == b"IDAT":
             idat.append(chunk)
         elif typ == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
-    sb = depth // 8
-    fu = ch * sb
+    if ct == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    sub8 = depth < 8
+    fu = ch * (depth // 8) if not sub8 else 1
     dt = ">u2" if depth == 16 else np.uint8
     raw = zlib.decompress(b"".join(idat))
 
-    def rows_to_samples(rows: np.ndarray, wp: int, hp: int) -> np.ndarray:
-        return np.frombuffer(rows.tobytes(), dtype=dt).reshape(hp, wp, ch)
+    def pass_samples(pos: int, wp: int, hp: int
+                     ) -> tuple[np.ndarray, int]:
+        if sub8:
+            return _defilter_sub8(raw, pos, wp, hp, depth)
+        rows, pos = _defilter(raw, pos, wp, hp, fu)
+        return (np.frombuffer(rows.tobytes(), dtype=dt)
+                .reshape(hp, wp, ch), pos)
 
     if not interlace:
-        rows, _ = _defilter(raw, 0, w, h, fu)
-        out = rows_to_samples(rows, w, h)
+        out, _ = pass_samples(0, w, h)
     else:
         out = np.zeros((h, w, ch),
                        dtype=np.uint16 if depth == 16 else np.uint8)
@@ -152,11 +181,75 @@ def decode_png(data: bytes) -> np.ndarray:
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue  # pass empty for this image size: zero bytes
-            rows, pos = _defilter(raw, pos, wp, hp, fu)
-            out[y0::dy, x0::dx, :] = rows_to_samples(rows, wp, hp)
+            sub, pos = pass_samples(pos, wp, hp)
+            out[y0::dy, x0::dx, :] = sub
+    if ct == 3:
+        idx = out[:, :, 0]
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[:len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if sub8:  # gray: scale to full 8-bit range (255 / (2^depth - 1))
+        out = (out.astype(np.uint16) * 255 // ((1 << depth) - 1)) \
+            .astype(np.uint8)
     if depth == 16:
         out = out.astype(np.uint16)
     return out.reshape(h, w) if ch == 1 else out
+
+
+def _pack_sub8(samples: np.ndarray, depth: int) -> bytes:
+    """Pack (h, w) samples of ``depth`` bits each into PNG scanline bytes
+    (big-endian-first within each byte, rows padded to byte boundaries),
+    one filter-0 byte per row."""
+    h, w = samples.shape
+    weights = np.arange(depth - 1, -1, -1)
+    bits = ((samples[:, :, None] >> weights) & 1).reshape(h, w * depth)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.hstack([bits, np.zeros((h, pad), bits.dtype)])
+    rows = np.packbits(bits.astype(np.uint8), axis=1)
+    return b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+
+
+def encode_png_indexed(idx: np.ndarray, palette: np.ndarray,
+                       depth: int = 8, trns: bytes | None = None) -> bytes:
+    """Deterministic palette-PNG writer (color type 3, depth 1/2/4/8),
+    filter 0, optional tRNS per-entry alpha — the screenshot/diagram form
+    crawls carry.  ``idx`` is (h, w) palette indices; ``palette`` (n, 3)
+    uint8 RGB."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if idx.max(initial=0) >= len(palette) or idx.max(initial=0) >= 1 << depth:
+        raise ValueError("palette index out of range for depth")
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    if depth == 8:
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    else:
+        raw = _pack_sub8(idx, depth)
+    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr) \
+        + _png_chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        chunks += _png_chunk(b"tRNS", trns)
+    return (chunks + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_png_gray_sub8(img: np.ndarray, depth: int) -> bytes:
+    """Deterministic 1/2/4-bit grayscale PNG writer (samples are raw
+    ``depth``-bit values, NOT pre-scaled), filter 0."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.max(initial=0) >= 1 << depth:
+        raise ValueError("sample exceeds depth")
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(_pack_sub8(img, depth), 6))
+            + _png_chunk(b"IEND", b""))
 
 
 def _png_chunk(typ: bytes, payload: bytes) -> bytes:

@@ -10,15 +10,15 @@ Decoders (``functions/codecs.py``, pure stdlib + numpy — no PIL/ffmpeg in
 this container, and none needed for these formats):
 * RAWGRAY (width*height single-byte pixels, the same bytes the PDF path
   stores for figure XObjects) — numpy view;
-* PNG (8/16-bit gray/gray+alpha/RGB/RGBA, all filters, sequential or
-  Adam7-interlaced — round 4), BMP (24-bit), PGM — real container
-  parsing + inflate;
+* PNG (complete pixel formats — 1/2/4/8/16-bit, gray/gray+alpha/RGB/RGBA/
+  palette+tRNS, all filters, sequential or Adam7-interlaced — round 4),
+  BMP (24-bit), PGM — real container parsing + inflate;
 * WAV (PCM) — stdlib ``wave``;
 * baseline AND progressive JPEG (huffman + IDCT + 4:2:0/4:2:2 chroma,
   restart intervals; spectral-selection + successive-approximation scans)
   — the pure-numpy decoder in ``functions/codecs.py``;
-* anything else (arithmetic/12-bit JPEG, palette/sub-8-bit PNG, formats
-  with no decoder here) raises ``UnsupportedCodec`` inside the row-level
+* anything else (arithmetic/12-bit JPEG, formats with no decoder here)
+  raises ``UnsupportedCodec`` inside the row-level
   error channel — the clearly-marked stub seam where a full codec library
   plugs in.
 
@@ -46,9 +46,9 @@ MEDIA_SCHEMA = (
 class UnsupportedCodec(NotImplementedError):
     """STUB SEAM: raised for codecs/variants this container cannot decode.
     Round 3's baseline-JPEG decoder and round 4's progressive scans +
-    interlaced/16-bit PNG (functions/codecs.py) narrowed this seam to
-    arithmetic/12-bit JPEG, palette/sub-8-bit PNG, and formats with no
-    decoder at all (no PIL/libav here).  Replace by a full codec lib in
+    complete PNG pixel-format coverage (functions/codecs.py) narrowed
+    this seam to arithmetic/12-bit JPEG and formats with no decoder at
+    all (no PIL/libav here).  Replace by a full codec lib in
     deployment."""
 
 
@@ -111,12 +111,17 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
                     rows.append((i, "video", "RAWGRAY", frames,
                                  (w, h, n_frames, 0)))
                 elif i % 11 == 4:
-                    # half the PNGs are Adam7-interlaced (round 4): decodes
-                    # to identical pixels, so invariance covers both forms
-                    rows.append((i, "image", "PNG",
-                                 codecs.encode_png(px,
-                                                   interlace=i % 2 == 0),
-                                 (w, h, 1, 0)))
+                    # PNG forms rotate (round 4): plain, Adam7-interlaced,
+                    # and palette-indexed with a gray identity palette —
+                    # all decode to identical pixels, so the invariance
+                    # test covers every form
+                    if i % 3 == 0:
+                        gray_pal = np.repeat(
+                            np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+                        enc = codecs.encode_png_indexed(px, gray_pal)
+                    else:
+                        enc = codecs.encode_png(px, interlace=i % 2 == 0)
+                    rows.append((i, "image", "PNG", enc, (w, h, 1, 0)))
                 elif i % 11 == 6:
                     rows.append((i, "image", "BMP", codecs.encode_bmp(px),
                                  (w, h, 1, 0)))

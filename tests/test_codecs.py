@@ -77,19 +77,53 @@ def test_png_interlaced_and_16bit_roundtrip():
                 assert np.array_equal(back, img), (shape, dt, il)
 
 
+def test_png_palette_and_sub8_roundtrip():
+    """Round-4 completion: palette PNGs (the crawl screenshot/diagram
+    form) resolve through PLTE — with tRNS per-entry alpha when present —
+    and 1/2/4-bit grayscale unpacks and scales to the 0-255 display
+    range.  Every depth the spec allows for these color types."""
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for depth in (8, 4, 2, 1):
+        n = min(16, 1 << depth)
+        idx = rng.integers(0, n, (13, 11), dtype=np.uint8)
+        out = codecs.decode_png(codecs.encode_png_indexed(idx, pal[:n], depth))
+        assert out.shape == (13, 11, 3) and np.array_equal(out, pal[:n][idx])
+        trns = bytes(range(0, n * 10, 10))[:n]
+        out2 = codecs.decode_png(
+            codecs.encode_png_indexed(idx, pal[:n], depth, trns=trns))
+        assert out2.shape == (13, 11, 4)
+        assert np.array_equal(out2[:, :, :3], pal[:n][idx])
+        assert np.array_equal(out2[:, :, 3],
+                              np.frombuffer(trns, np.uint8)[idx])
+    for depth in (1, 2, 4):
+        img = rng.integers(0, 1 << depth, (9, 14), dtype=np.uint8)
+        out = codecs.decode_png(codecs.encode_png_gray_sub8(img, depth))
+        want = (img.astype(np.uint16) * 255
+                // ((1 << depth) - 1)).astype(np.uint8)
+        assert out.shape == (9, 14) and np.array_equal(out, want)
+
+
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError):
         codecs.decode_png(b"\x89PNG\r\n\x1a\njunk")
     with pytest.raises(ValueError):
         codecs.decode_png(b"GIF89a")
-    # palette (color type 3) and sub-8-bit depths stay the honest seam
-    for depth, ct in ((8, 3), (4, 0), (1, 0)):
+    # spec-invalid depth/type combinations are the typed seam
+    for depth, ct in ((16, 3), (4, 2), (2, 6), (3, 0)):
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, 0)
         bad = (codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr)
                + codecs._png_chunk(b"IDAT", zlib.compress(b"\0" * 8))
                + codecs._png_chunk(b"IEND", b""))
         with pytest.raises(codecs.UnsupportedVariant):
             codecs.decode_png(bad)
+    # palette PNG whose PLTE is missing is malformed, not a variant
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    with pytest.raises(ValueError):
+        codecs.decode_png(
+            codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr)
+            + codecs._png_chunk(b"IDAT", zlib.compress(b"\0" * 6))
+            + codecs._png_chunk(b"IEND", b""))
 
 
 def test_bmp_roundtrip_and_gray():
