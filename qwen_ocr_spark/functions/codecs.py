@@ -9,10 +9,12 @@ the multimodal operators decode them FOR REAL instead of stubbing:
          4 (gray+alpha) / 6 (RGBA), all five scanline filters, sequential
          or Adam7-interlaced; spec-invalid depth/type combinations raise
          ``UnsupportedVariant`` into the row error channel.
-* JPEG — baseline sequential (SOF0/1) AND progressive (SOF2:
-         spectral-selection + successive-approximation scans): gray or
-         YCbCr, any sampling factors incl. 4:2:0, restart intervals,
-         tables read from the file; arithmetic/12-bit raise
+* JPEG — baseline sequential (SOF0/1), progressive (SOF2:
+         spectral-selection + successive-approximation scans), AND
+         arithmetic-coded sequential (SOF9: QM coder + Annex-F
+         conditioning, DAC segments — round 4): gray or YCbCr, any
+         sampling factors incl. 4:2:0, restart intervals, tables read
+         from the file; progressive-arithmetic (SOF10) and 12-bit raise
          ``UnsupportedVariant``.
 * BMP  — uncompressed 24-bit BI_RGB, bottom-up or top-down.
 * PGM  — binary P5, maxval <= 255.
@@ -384,18 +386,20 @@ def encode_pgm(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# JPEG (sequential + progressive DCT — ITU T.81)
+# JPEG (sequential + progressive + arithmetic DCT — ITU T.81)
 #
-# Decoder: SOF0/1 baseline and SOF2 PROGRESSIVE (spectral selection +
+# Decoder: SOF0/1 baseline, SOF2 PROGRESSIVE (spectral selection +
 # successive approximation, DC/AC first + refinement passes, EOB runs),
+# and SOF9 ARITHMETIC sequential (QM coder section further below),
 # 1- or 3-component (YCbCr per JFIF), any sampling factors <= 4 (incl.
 # the dominant 4:2:0), restart intervals, FF00 byte stuffing; huffman +
-# quant tables are read FROM the file.  Arithmetic (SOF9+), lossless and
-# 12-bit raise UnsupportedVariant into the row error channel — that is
-# the remaining (narrowed) UnsupportedCodec seam.
-# Encoders: deterministic baseline (encode_jpeg) and progressive
-# (encode_jpeg_progressive) writing the SAME quantized coefficients, so
-# decode equality between the two is exact — the progressive test oracle.
+# quant tables are read FROM the file.  Progressive-arithmetic (SOF10),
+# lossless and 12-bit raise UnsupportedVariant into the row error channel
+# — that is the remaining (narrowed) UnsupportedCodec seam.
+# Encoders: deterministic baseline (encode_jpeg), progressive
+# (encode_jpeg_progressive) and arithmetic (encode_jpeg_arith) writing
+# the SAME quantized coefficients, so decode equality between the three
+# is exact — the progressive/arithmetic test oracle.
 # ---------------------------------------------------------------------------
 
 _ZIGZAG = [
@@ -529,6 +533,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     w = h = 0
     dri = 0
     progressive = False
+    arith = False
+    cond_dc: dict[int, tuple[int, int]] = {}  # DAC: table id → (L, U)
+    cond_ac: dict[int, int] = {}              # DAC: table id → Kx
     coefs: list[np.ndarray] | None = None    # per comp (bh, bw, 64) zigzag
     geom: tuple[int, int, int, int] = (0, 0, 0, 0)  # hmax, vmax, mcux, mcuy
     i = 2
@@ -549,8 +556,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise UnsupportedVariant("16-bit quant tables unsupported")
                 qt[tid] = np.frombuffer(seg[p:p + 64], np.uint8).astype(np.int32)
                 p += 64
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 arithmetic sequential
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             h, w = (int.from_bytes(seg[1:3], "big"),
                     int.from_bytes(seg[3:5], "big"))
             if seg[0] != 8:
@@ -561,9 +570,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedVariant(
-                "arithmetic/lossless/hierarchical JPEG unsupported")
+                "progressive-arithmetic/lossless/hierarchical JPEG "
+                "unsupported")
+        elif marker == 0xCC:  # DAC — arithmetic conditioning
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb, val = seg[p] >> 4, seg[p] & 0xF, seg[p + 1]
+                if tc == 0:
+                    cond_dc[tb] = (val & 0xF, val >> 4)
+                else:
+                    cond_ac[tb] = val
+                p += 2
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -580,6 +599,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             smap = {}
             for c in range(ns):
                 smap[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+            if arith:
+                return _decode_scan_arith(data, i + 2 + seg_len, w, h,
+                                          comps, smap, qt, dri,
+                                          cond_dc, cond_ac)
             if not progressive:
                 return _decode_scan(data, i + 2 + seg_len, w, h, comps, smap,
                                     qt, huff, dri)
@@ -1222,8 +1245,536 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 75) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# WAV (PCM)
+# Arithmetic-coded JPEG (T.81 Annex D QM coder + Annex F statistics model)
+#
+# Sequential DCT with arithmetic entropy coding (SOF9): the QM
+# binary arithmetic coder (probability-state machine of Table D.3, carry
+# resolution via 0xFF-stacking, FF00 marker-guard stuffing) driving the
+# Annex-F conditioning model — per-component DC contexts classified by the
+# previous diff's magnitude (L/U conditioning bounds), per-position AC
+# EOB/run/magnitude contexts with the Kx low/high-frequency split, and the
+# fixed ~equiprobable state for AC signs.  Decoder and encoder are exact
+# mutual inverses (round-trip-tested per state path); conditioning bounds
+# come from the DAC segment with the spec defaults (L=0, U=1, Kx=5).
+# Progressive-arithmetic (SOF10) and 12-bit remain the UnsupportedCodec
+# seam.
 # ---------------------------------------------------------------------------
+
+# Table D.3: (Qe, NMPS, NLPS, switch) per probability-estimation state;
+# index 113 is the non-adapting ~equiprobable state used for AC signs.
+_QM = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 101, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 105, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 110, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 112, 112, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+]
+_QM_FIXED = 113  # state for equiprobable decisions (never adapts)
+
+
+class _ArithDecoder:
+    """QM arithmetic decoder (T.81 D.2).  Statistic bins are single bytes:
+    bit 7 = current MPS sense, bits 0-6 = Table D.3 state index.  The code
+    register C holds raw stream bytes; CT tracks the bit offset between C
+    and the interval register A (the decision compares C against A << CT),
+    so renormalization never shifts C — only refills it bytewise with
+    FF00 un-stuffing, and feeds zero bytes once a marker is reached."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.bp = data, pos
+        self.a = 0x10000
+        self.marker_pos: int | None = None
+        self.c = (self._byte() << 8) | self._byte()
+        self.ct = 0
+
+    def _byte(self) -> int:
+        if self.marker_pos is not None:
+            return 0
+        if self.bp >= len(self.d):
+            self.marker_pos = self.bp
+            return 0
+        b = self.d[self.bp]
+        if b == 0xFF:
+            nxt = self.d[self.bp + 1] if self.bp + 1 < len(self.d) else 0xD9
+            if nxt != 0x00:      # a real marker terminates the scan
+                self.marker_pos = self.bp
+                return 0
+            self.bp += 2         # FF00 → data byte 0xFF
+            return 0xFF
+        self.bp += 1
+        return b
+
+    def decode(self, st: bytearray, k: int) -> int:
+        sv = st[k]
+        mps = sv >> 7
+        qe, nm, nl, sw = _QM[sv & 0x7F]
+        self.a -= qe
+        if self.c < (self.a << self.ct):
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:      # conditional exchange: bottom is LPS
+                d = 1 - mps
+                if sw:
+                    mps ^= 1
+                st[k] = (mps << 7) | nl
+            else:
+                d = mps
+                st[k] = (mps << 7) | nm
+        else:
+            self.c -= self.a << self.ct
+            if self.a < qe:      # conditional exchange: top is MPS
+                d = mps
+                st[k] = (mps << 7) | nm
+            else:
+                d = 1 - mps
+                if sw:
+                    mps ^= 1
+                st[k] = (mps << 7) | nl
+            self.a = qe
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.ct -= 1
+            if self.ct < 0:
+                self.c = (self.c << 8) | self._byte()
+                self.ct += 8
+        return d
+
+
+class _ArithEncoder:
+    """QM arithmetic encoder (T.81 D.1), the exact inverse of
+    ``_ArithDecoder``: MPS sub-interval at the interval base, carry
+    resolved by stacking pending 0xFF bytes, FF00 stuffing on output so
+    the entropy segment can never alias a marker."""
+
+    def __init__(self):
+        self.a, self.c, self.ct = 0x10000, 0, 11
+        self.buffer = -1      # pending byte (carry may still reach it)
+        self.sc = 0           # count of stacked pending 0xFF bytes
+        self.out = bytearray()
+
+    def _emit(self, b: int) -> None:
+        self.out.append(b)
+        if b == 0xFF:
+            self.out.append(0x00)
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        self.c &= 0x7FFFF
+        if t > 0xFF:
+            # carry: +1 into the pending byte, stacked FFs roll to 00
+            self._emit(self.buffer + 1 if self.buffer >= 0 else 1)
+            self.out += b"\x00" * self.sc
+            self.sc = 0
+            self.buffer = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1      # may still overflow to 0x00 via carry
+        else:
+            if self.buffer >= 0:
+                self._emit(self.buffer)
+            for _ in range(self.sc):
+                self._emit(0xFF)
+            self.sc = 0
+            self.buffer = t
+
+    def encode(self, st: bytearray, k: int, bit: int) -> None:
+        sv = st[k]
+        mps = sv >> 7
+        qe, nm, nl, sw = _QM[sv & 0x7F]
+        self.a -= qe
+        if bit != mps:
+            if self.a >= qe:      # normal: LPS at the top
+                self.c += self.a
+                self.a = qe
+            if sw:
+                mps ^= 1
+            st[k] = (mps << 7) | nl
+        else:
+            if self.a & 0x8000:
+                return
+            if self.a < qe:       # conditional exchange: MPS at the top
+                self.c += self.a
+                self.a = qe
+            st[k] = (mps << 7) | nm
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+
+    def flush(self) -> bytes:
+        # D.1.9: choose the in-interval code value with the most trailing
+        # zero bits, then push the remaining significant bytes out
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        for _ in range(4):        # drain bits 19.. through the carry logic
+            self._byteout()
+            self.c = (self.c << 8) & 0xFFFFFFF
+        if self.buffer >= 0:
+            self._emit(self.buffer)
+        for _ in range(self.sc):
+            self._emit(0xFF)
+        while self.out and self.out[-1] == 0x00:
+            self.out.pop()        # trailing zeros carry no information
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _arith_stats(comps: list[dict], smap: dict) -> tuple[dict, dict, bytearray]:
+    """Fresh Annex-F statistics areas: 64 DC bins + 256 AC bins per table
+    id, plus the fixed bin pinned to the non-adapting state."""
+    dc = {smap[c["id"]][0]: bytearray(64) for c in comps}
+    ac = {smap[c["id"]][1]: bytearray(256) for c in comps}
+    return dc, ac, bytearray([_QM_FIXED])
+
+
+def _arith_decode_block(dec, dc_st, ac_st, fixed, dc_ctx, ci, last_dc,
+                        cond_dc, cond_ac) -> np.ndarray:
+    """One 8x8 block of zigzag coefficients via the Annex-F model."""
+    lo, up = cond_dc
+    kx = cond_ac
+    zz = np.zeros(64, np.int32)
+    # F.1.4.4.1: DC difference
+    st = dc_ctx[ci]
+    if dec.decode(dc_st, st) == 0:
+        dc_ctx[ci] = 0
+    else:
+        sign = dec.decode(dc_st, st + 1)
+        m = dec.decode(dc_st, st + 2 + sign)
+        if m:
+            k = 20                      # X1
+            while dec.decode(dc_st, k):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arith DC magnitude overflow")
+                k += 1
+        else:
+            k = st + 2 + sign
+        if m < (1 << lo) >> 1:
+            dc_ctx[ci] = 0
+        elif m > (1 << up) >> 1:
+            dc_ctx[ci] = 12 + sign * 4
+        else:
+            dc_ctx[ci] = 4 + sign * 4
+        v, bit = m, m
+        k += 14
+        while bit > 1:
+            bit >>= 1
+            if dec.decode(dc_st, k):
+                v |= bit
+        v += 1
+        last_dc[ci] += -v if sign else v
+    zz[0] = last_dc[ci]
+    # F.1.4.4.2: AC coefficients
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(ac_st, st):       # EOB
+            break
+        while dec.decode(ac_st, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arith AC run overflow")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(ac_st, st)
+        if m and dec.decode(ac_st, st):
+            m = 2
+            st = 189 if k <= kx else 217
+            while dec.decode(ac_st, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arith AC magnitude overflow")
+                st += 1
+        v, bit = m, m
+        st += 14
+        while bit > 1:
+            bit >>= 1
+            if dec.decode(ac_st, st):
+                v |= bit
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+    return zz
+
+
+def _arith_encode_block(enc, dc_st, ac_st, fixed, dc_ctx, ci, last_dc,
+                        cond_dc, cond_ac, zz) -> None:
+    """Exact inverse of ``_arith_decode_block``."""
+    lo, up = cond_dc
+    kx = cond_ac
+    st = dc_ctx[ci]
+    diff = int(zz[0]) - last_dc[ci]
+    last_dc[ci] = int(zz[0])
+    if diff == 0:
+        enc.encode(dc_st, st, 0)
+        dc_ctx[ci] = 0
+    else:
+        enc.encode(dc_st, st, 1)
+        sign = 1 if diff < 0 else 0
+        enc.encode(dc_st, st + 1, sign)
+        v = (-diff if sign else diff) - 1
+        if v == 0:
+            enc.encode(dc_st, st + 2 + sign, 0)
+            m, k = 0, st + 2 + sign
+        else:
+            enc.encode(dc_st, st + 2 + sign, 1)
+            m, k = 1, 20
+            while (m << 1) <= v:
+                enc.encode(dc_st, k, 1)
+                m <<= 1
+                k += 1
+            enc.encode(dc_st, k, 0)
+        if m < (1 << lo) >> 1:
+            dc_ctx[ci] = 0
+        elif m > (1 << up) >> 1:
+            dc_ctx[ci] = 12 + sign * 4
+        else:
+            dc_ctx[ci] = 4 + sign * 4
+        k += 14
+        bit = m
+        while bit > 1:
+            bit >>= 1
+            enc.encode(dc_st, k, 1 if v & bit else 0)
+    ke = int(np.nonzero(zz[1:])[0].max()) + 1 if np.any(zz[1:]) else 0
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(ac_st, st, 0)        # not EOB
+        while int(zz[k]) == 0:
+            enc.encode(ac_st, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(ac_st, st + 1, 1)
+        val = int(zz[k])
+        sign = 1 if val < 0 else 0
+        enc.encode(fixed, 0, sign)
+        st += 2
+        v = (-val if sign else val) - 1
+        if v == 0:
+            enc.encode(ac_st, st, 0)
+            m = 0
+        else:
+            enc.encode(ac_st, st, 1)
+            if v == 1:
+                enc.encode(ac_st, st, 0)
+                m = 1
+            else:
+                enc.encode(ac_st, st, 1)
+                m = 2
+                st = 189 if k <= kx else 217
+                while (m << 1) <= v:
+                    enc.encode(ac_st, st, 1)
+                    m <<= 1
+                    st += 1
+                enc.encode(ac_st, st, 0)
+        st += 14
+        bit = m
+        while bit > 1:
+            bit >>= 1
+            enc.encode(ac_st, st, 1 if v & bit else 0)
+        k += 1
+    if ke < 63:
+        enc.encode(ac_st, 3 * k - 3, 1)  # EOB
+
+
+def _decode_scan_arith(data, pos, w, h, comps, smap, qt, dri,
+                       cond_dc, cond_ac) -> np.ndarray:
+    """Sequential arithmetic-coded scan (SOF9) → assembled image, the
+    arithmetic twin of ``_decode_scan``.  Restart intervals re-initialize
+    the coder, every statistics area, the DC predictors and contexts —
+    each RSTn segment is an independent arithmetic stream."""
+    if not comps or not w or not h:
+        raise ValueError("JPEG scan before frame header")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), np.float64)
+              for c in comps]
+
+    def fresh(p):
+        dc_st, ac_st, fixed = _arith_stats(comps, smap)
+        return (_ArithDecoder(data, p), dc_st, ac_st, fixed,
+                [0] * len(comps), [0] * len(comps))
+
+    dec, dc_st, ac_st, fixed, dc_ctx, last_dc = fresh(pos)
+    for mcu in range(mcux * mcuy):
+        if dri and mcu and mcu % dri == 0:
+            p = dec.marker_pos
+            if p is None:
+                p = data.find(b"\xff", dec.bp)
+            while p != -1 and not (p + 1 < len(data)
+                                   and 0xD0 <= data[p + 1] <= 0xD7):
+                p = data.find(b"\xff", p + 1)
+            if p == -1:
+                raise ValueError("JPEG missing restart marker")
+            dec, dc_st, ac_st, fixed, dc_ctx, last_dc = fresh(p + 2)
+        my, mx = divmod(mcu, mcux)
+        for ci, c in enumerate(comps):
+            dct_id, act_id = smap[c["id"]]
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = _arith_decode_block(
+                        dec, dc_st[dct_id], ac_st[act_id], fixed, dc_ctx,
+                        ci, last_dc, cond_dc.get(dct_id, (0, 1)),
+                        cond_ac.get(act_id, 5))
+                    blk = np.zeros(64, np.float64)
+                    blk[_ZIGZAG] = zz * q
+                    px = _DCT.T @ blk.reshape(8, 8) @ _DCT + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_arith(img: np.ndarray, quality: int = 75,
+                      restart_interval: int = 0) -> bytes:
+    """Deterministic sequential arithmetic-coded JPEG (SOF9): the same
+    quantized coefficients as ``encode_jpeg``, entropy-coded by the QM
+    coder under the Annex-F model, so baseline/arithmetic decode equality
+    is exact — the arithmetic test oracle.  Emits an explicit DAC segment
+    carrying the default conditioning (L=0, U=1, Kx=5)."""
+    img = np.asarray(img)
+    color = img.ndim == 3 and img.shape[2] >= 3
+    if img.ndim == 3 and not color:
+        img = img[:, :, 0]
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255).astype(np.int32)
+    cond_dc, cond_ac = (0, 1), 5
+
+    def quant(px):
+        blk = _DCT @ px @ _DCT.T
+        return np.round(blk.reshape(64)[_ZIGZAG] / q[_ZIGZAG]).astype(np.int32)
+
+    if color:
+        h, w = img.shape[:2]
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        pad = lambda p: np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        y = pad(y) - 128.0
+        sub = lambda p: pad(p).reshape(ph // 2, 2, pw // 2, 2) \
+            .mean(axis=(1, 3)) - 128.0
+        cbs, crs = sub(cb), sub(cr)
+        comps = [{"id": 1, "h": 2, "v": 2, "tq": 0},
+                 {"id": 2, "h": 1, "v": 1, "tq": 0},
+                 {"id": 3, "h": 1, "v": 1, "tq": 0}]
+        comps_hdr = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        smap_hdr = bytes([1, 0x00, 2, 0x00, 3, 0x00])
+        mcux, mcuy = pw // 16, ph // 16
+        nc = 3
+
+        def mcu_blocks(mcu):
+            my, mx = divmod(mcu, mcux)
+            for by in range(2):
+                for bx in range(2):
+                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    yield 0, quant(y[y0:y0 + 8, x0:x0 + 8])
+            y0, x0 = my * 8, mx * 8
+            yield 1, quant(cbs[y0:y0 + 8, x0:x0 + 8])
+            yield 2, quant(crs[y0:y0 + 8, x0:x0 + 8])
+    else:
+        pix = img.astype(np.float64)
+        h, w = pix.shape
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        padded = np.pad(pix, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+        comps_hdr = bytes([1, 0x11, 0])
+        smap_hdr = bytes([1, 0x00])
+        mcux, mcuy = pw // 8, ph // 8
+        nc = 1
+
+        def mcu_blocks(mcu):
+            my, mx = divmod(mcu, mcux)
+            yield 0, quant(padded[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8])
+
+    smap = {c["id"]: (0, 0) for c in comps}
+    body = bytearray()
+
+    def fresh():
+        dc_st, ac_st, fixed = _arith_stats(comps, smap)
+        return (_ArithEncoder(), dc_st, ac_st, fixed,
+                [0] * len(comps), [0] * len(comps))
+
+    enc, dc_st, ac_st, fixed, dc_ctx, last_dc = fresh()
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            body += enc.flush()
+            body += bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+            enc, dc_st, ac_st, fixed, dc_ctx, last_dc = fresh()
+        for ci, zz in mcu_blocks(mcu):
+            _arith_encode_block(enc, dc_st[0], ac_st[0], fixed, dc_ctx,
+                                ci, last_dc, cond_dc, cond_ac, zz)
+    body += enc.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) \
+            + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(q[z]) for z in _ZIGZAG))
+    sof = seg(0xC9, b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([nc]) + comps_hdr)
+    dac = seg(0xCC, bytes([0x00, (cond_dc[1] << 4) | cond_dc[0],
+                           0x10, cond_ac]))
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) \
+        if restart_interval else b""
+    sos = seg(0xDA, bytes([nc]) + smap_hdr + b"\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + sof + dac + dri + sos + bytes(body)
+            + b"\xff\xd9")
+
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """→ (samples int32 array of shape (n, channels), sample_rate)."""

@@ -14,11 +14,12 @@ this container, and none needed for these formats):
   palette+tRNS, all filters, sequential or Adam7-interlaced — round 4),
   BMP (24-bit), PGM — real container parsing + inflate;
 * WAV (PCM) — stdlib ``wave``;
-* baseline AND progressive JPEG (huffman + IDCT + 4:2:0/4:2:2 chroma,
-  restart intervals; spectral-selection + successive-approximation scans)
+* baseline, progressive AND arithmetic-coded JPEG (huffman + IDCT +
+  4:2:0/4:2:2 chroma, restart intervals; spectral-selection +
+  successive-approximation scans; QM coder + Annex-F conditioning)
   — the pure-numpy decoder in ``functions/codecs.py``;
-* anything else (arithmetic/12-bit JPEG, formats with no decoder here)
-  raises ``UnsupportedCodec`` inside the row-level
+* anything else (progressive-arithmetic/12-bit JPEG, formats with no
+  decoder here) raises ``UnsupportedCodec`` inside the row-level
   error channel — the clearly-marked stub seam where a full codec library
   plugs in.
 
@@ -45,11 +46,11 @@ MEDIA_SCHEMA = (
 
 class UnsupportedCodec(NotImplementedError):
     """STUB SEAM: raised for codecs/variants this container cannot decode.
-    Round 3's baseline-JPEG decoder and round 4's progressive scans +
-    complete PNG pixel-format coverage (functions/codecs.py) narrowed
-    this seam to arithmetic/12-bit JPEG and formats with no decoder at
-    all (no PIL/libav here).  Replace by a full codec lib in
-    deployment."""
+    Round 3's baseline-JPEG decoder and round 4's progressive scans,
+    QM arithmetic coder, and complete PNG pixel-format coverage
+    (functions/codecs.py) narrowed this seam to progressive-arithmetic
+    (SOF10) / 12-bit JPEG and formats with no decoder at all (no
+    PIL/libav here).  Replace by a full codec lib in deployment."""
 
 
 def _decode_gray(codec: str, payload: bytes, w: int, h: int) -> np.ndarray:
@@ -66,10 +67,11 @@ def _decode_gray(codec: str, payload: bytes, w: int, h: int) -> np.ndarray:
 def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
     """Deterministic synthetic media table: gray images in four lossless
     encodings (RAWGRAY/PNG/BMP/PGM — identical pixel content per id, so
-    features are encoding-invariant), real baseline AND progressive JPEGs
-    (lossy: features match within tolerance), RAWGRAY 'videos' (stacked
-    frames), PCM WAV audio, plus arithmetic-coded JPEG headers exercising
-    the narrowed stub seam."""
+    features are encoding-invariant), real baseline, progressive AND
+    arithmetic-coded JPEGs (lossy: features match within tolerance),
+    RAWGRAY 'videos' (stacked frames), PCM WAV audio, plus
+    progressive-arithmetic (SOF10) JPEG headers exercising the narrowed
+    stub seam."""
     if partitions is None:
         partitions = max(4, spark.sparkContext.defaultParallelism)
 
@@ -82,11 +84,15 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
                 px = np.array([(i * 7 + p) % 251 for p in range(w * h)],
                               dtype=np.uint8).reshape(h, w)
                 if i % 11 == 10:
-                    if i % 4 == 0:
-                        # arithmetic-coded header (SOF9): the remaining
-                        # (narrowed) UnsupportedCodec seam
+                    if i % 8 == 0:
+                        # progressive-arithmetic header (SOF10): the
+                        # remaining (narrowed) UnsupportedCodec seam
                         enc = codecs.encode_jpeg(px).replace(
-                            b"\xff\xc0", b"\xff\xc9", 1)
+                            b"\xff\xc0", b"\xff\xca", 1)
+                    elif i % 4 == 0:
+                        # REAL arithmetic-coded JPEG (round 4): decodes
+                        # to the same pixels as the baseline encoding
+                        enc = codecs.encode_jpeg_arith(px)
                     elif i % 2 == 0:
                         # REAL progressive JPEG (round 4): decodes to the
                         # same pixels as the baseline encoding

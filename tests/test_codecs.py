@@ -240,14 +240,63 @@ def test_jpeg_deterministic_and_dispatch():
     assert np.array_equal(codecs.decode_image("JPEG", enc), codecs.decode_jpeg(enc))
 
 
-def test_jpeg_arithmetic_is_unsupported_variant():
+def test_jpeg_progressive_arithmetic_is_unsupported_variant():
     enc = bytearray(codecs.encode_jpeg(_img(8, 8)))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC9  # SOF9: arithmetic coding — the remaining seam
+    enc[i + 1] = 0xCA  # SOF10: progressive-arithmetic — the remaining seam
     with pytest.raises(codecs.UnsupportedVariant):
         codecs.decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
         codecs.decode_jpeg(b"not a jpeg at all")
+
+
+def test_qm_coder_roundtrip_fuzz():
+    """The QM arithmetic coder (T.81 Annex D) must invert itself exactly
+    across adaptive contexts and the fixed ~equiprobable state, for
+    skewed and balanced bit sources (exercises carry resolution, 0xFF
+    stacking/stuffing, conditional exchange, and flush)."""
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        n_ctx = int(rng.integers(1, 8))
+        n_bits = int(rng.integers(1, 300))
+        bits = (rng.random(n_bits) < rng.random()).astype(int).tolist()
+        ctxs = rng.integers(0, n_ctx, n_bits).tolist()
+        use_fixed = rng.random() < 0.3
+        enc = codecs._ArithEncoder()
+        st_e, fx_e = bytearray(n_ctx), bytearray([codecs._QM_FIXED])
+        for b, cx in zip(bits, ctxs):
+            enc.encode(fx_e if use_fixed and cx == 0 else st_e,
+                       0 if use_fixed and cx == 0 else cx, b)
+        stream = enc.flush()
+        assert b"\xff\xd9" not in stream  # no marker aliasing, ever
+        dec = codecs._ArithDecoder(stream, 0)
+        st_d, fx_d = bytearray(n_ctx), bytearray([codecs._QM_FIXED])
+        got = [dec.decode(fx_d if use_fixed and cx == 0 else st_d,
+                          0 if use_fixed and cx == 0 else cx)
+               for cx in ctxs]
+        assert got == bits, trial
+
+
+def test_jpeg_arithmetic_decodes_exactly_as_baseline():
+    """SOF9 arithmetic and SOF0 baseline encodings of the SAME quantized
+    coefficients must decode to identical pixels — gray and 4:2:0 color,
+    non-multiple-of-8 sizes, and restart intervals (each RSTn segment an
+    independent arithmetic stream)."""
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:32, 0:40]
+    cases = [rng.integers(0, 256, (24, 17), dtype=np.uint8),
+             rng.integers(0, 256, (9, 13), dtype=np.uint8),
+             ((yy * 3 + xx * 2) % 256).astype(np.uint8),
+             rng.integers(0, 256, (24, 20, 3), dtype=np.uint8)]
+    for img in cases:
+        arj = codecs.encode_jpeg_arith(img)
+        assert b"\xff\xc9" in arj and b"\xff\xcc" in arj  # SOF9 + DAC
+        assert np.array_equal(codecs.decode_jpeg(arj),
+                              codecs.decode_jpeg(codecs.encode_jpeg(img)))
+    img = rng.integers(0, 256, (40, 33), dtype=np.uint8)
+    assert np.array_equal(
+        codecs.decode_jpeg(codecs.encode_jpeg_arith(img, restart_interval=3)),
+        codecs.decode_jpeg(codecs.encode_jpeg(img, restart_interval=3)))
 
 
 def test_jpeg_mislabeled_progressive_header_fails_cleanly():
