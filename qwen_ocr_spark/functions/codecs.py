@@ -9,13 +9,13 @@ the multimodal operators decode them FOR REAL instead of stubbing:
          4 (gray+alpha) / 6 (RGBA), all five scanline filters, sequential
          or Adam7-interlaced; spec-invalid depth/type combinations raise
          ``UnsupportedVariant`` into the row error channel.
-* JPEG — baseline sequential (SOF0/1), progressive (SOF2:
-         spectral-selection + successive-approximation scans), AND
-         arithmetic-coded sequential (SOF9: QM coder + Annex-F
-         conditioning, DAC segments — round 4): gray or YCbCr, any
-         sampling factors incl. 4:2:0, restart intervals, tables read
-         from the file; progressive-arithmetic (SOF10) and 12-bit raise
-         ``UnsupportedVariant``.
+* JPEG — the complete DCT family (round 4): baseline sequential
+         (SOF0/1), progressive (SOF2: spectral-selection +
+         successive-approximation scans), AND arithmetic-coded
+         sequential + progressive (SOF9/SOF10: QM coder + Annex-F/G
+         conditioning, DAC segments): gray or YCbCr, any sampling
+         factors incl. 4:2:0, restart intervals, tables read from the
+         file; lossless/hierarchical/12-bit raise ``UnsupportedVariant``.
 * BMP  — uncompressed 24-bit BI_RGB, bottom-up or top-down.
 * PGM  — binary P5, maxval <= 255.
 * WAV  — PCM via the stdlib ``wave`` module (8/16/32-bit).
@@ -390,16 +390,17 @@ def encode_pgm(img: np.ndarray) -> bytes:
 #
 # Decoder: SOF0/1 baseline, SOF2 PROGRESSIVE (spectral selection +
 # successive approximation, DC/AC first + refinement passes, EOB runs),
-# and SOF9 ARITHMETIC sequential (QM coder section further below),
-# 1- or 3-component (YCbCr per JFIF), any sampling factors <= 4 (incl.
-# the dominant 4:2:0), restart intervals, FF00 byte stuffing; huffman +
-# quant tables are read FROM the file.  Progressive-arithmetic (SOF10),
-# lossless and 12-bit raise UnsupportedVariant into the row error channel
-# — that is the remaining (narrowed) UnsupportedCodec seam.
+# and SOF9/SOF10 ARITHMETIC sequential/progressive (QM coder section
+# further below), 1- or 3-component (YCbCr per JFIF), any sampling
+# factors <= 4 (incl. the dominant 4:2:0), restart intervals, FF00 byte
+# stuffing; huffman + quant tables are read FROM the file — the complete
+# DCT family.  Lossless, hierarchical and 12-bit raise UnsupportedVariant
+# into the row error channel — the remaining (narrowed) seam.
 # Encoders: deterministic baseline (encode_jpeg), progressive
-# (encode_jpeg_progressive) and arithmetic (encode_jpeg_arith) writing
-# the SAME quantized coefficients, so decode equality between the three
-# is exact — the progressive/arithmetic test oracle.
+# (encode_jpeg_progressive), arithmetic (encode_jpeg_arith) and
+# progressive-arithmetic (encode_jpeg_progressive_arith) writing the
+# SAME quantized coefficients, so decode equality between all four is
+# exact — the progressive/arithmetic test oracle.
 # ---------------------------------------------------------------------------
 
 _ZIGZAG = [
@@ -556,10 +557,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise UnsupportedVariant("16-bit quant tables unsupported")
                 qt[tid] = np.frombuffer(seg[p:p + 64], np.uint8).astype(np.int32)
                 p += 64
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 baseline, SOF2 progressive, SOF9 arithmetic sequential
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9/10 arithmetic
+            # sequential/progressive
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             h, w = (int.from_bytes(seg[1:3], "big"),
                     int.from_bytes(seg[3:5], "big"))
             if seg[0] != 8:
@@ -570,10 +572,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedVariant(
-                "progressive-arithmetic/lossless/hierarchical JPEG "
-                "unsupported")
+                "lossless/hierarchical JPEG unsupported")
         elif marker == 0xCC:  # DAC — arithmetic conditioning
             p = 0
             while p + 1 < len(seg):
@@ -599,7 +600,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             smap = {}
             for c in range(ns):
                 smap[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
-            if arith:
+            if arith and not progressive:
                 return _decode_scan_arith(data, i + 2 + seg_len, w, h,
                                           comps, smap, qt, dri,
                                           cond_dc, cond_ac)
@@ -618,8 +619,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                   np.int32) for c in comps]
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
-            i = _decode_prog_scan(data, i + 2 + seg_len, comps, smap, coefs,
-                                  ss, se, ah, al, huff, dri, w, h, *geom)
+            if arith:
+                i = _decode_prog_scan_arith(data, i + 2 + seg_len, comps,
+                                            smap, coefs, ss, se, ah, al,
+                                            dri, cond_dc, cond_ac,
+                                            w, h, *geom)
+            else:
+                i = _decode_prog_scan(data, i + 2 + seg_len, comps, smap,
+                                      coefs, ss, se, ah, al, huff, dri,
+                                      w, h, *geom)
             continue
         i += 2 + seg_len
     if progressive and coefs is not None:
@@ -1247,17 +1255,18 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 75) -> bytes:
 # ---------------------------------------------------------------------------
 # Arithmetic-coded JPEG (T.81 Annex D QM coder + Annex F statistics model)
 #
-# Sequential DCT with arithmetic entropy coding (SOF9): the QM
-# binary arithmetic coder (probability-state machine of Table D.3, carry
-# resolution via 0xFF-stacking, FF00 marker-guard stuffing) driving the
-# Annex-F conditioning model — per-component DC contexts classified by the
-# previous diff's magnitude (L/U conditioning bounds), per-position AC
-# EOB/run/magnitude contexts with the Kx low/high-frequency split, and the
-# fixed ~equiprobable state for AC signs.  Decoder and encoder are exact
-# mutual inverses (round-trip-tested per state path); conditioning bounds
-# come from the DAC segment with the spec defaults (L=0, U=1, Kx=5).
-# Progressive-arithmetic (SOF10) and 12-bit remain the UnsupportedCodec
-# seam.
+# Sequential (SOF9) and progressive (SOF10) DCT with arithmetic entropy
+# coding: the QM binary arithmetic coder (probability-state machine of
+# Table D.3, carry resolution via 0xFF-stacking, FF00 marker-guard
+# stuffing) driving the Annex-F/G conditioning model — per-component DC
+# contexts classified by the previous diff's magnitude (L/U conditioning
+# bounds), per-position AC EOB/run/magnitude contexts with the Kx
+# low/high-frequency split, the fixed ~equiprobable state for AC signs
+# and DC refinement bits, and progressive AC refinement decisions keyed
+# to the previous stage's end-of-block index.  Decoder and encoder are
+# exact mutual inverses (round-trip-tested per state path); conditioning
+# bounds come from the DAC segment with the spec defaults (L=0, U=1,
+# Kx=5).  Lossless/hierarchical/12-bit remain the UnsupportedCodec seam.
 # ---------------------------------------------------------------------------
 
 # Table D.3: (Qe, NMPS, NLPS, switch) per probability-estimation state;
@@ -1459,8 +1468,10 @@ class _ArithEncoder:
 def _arith_stats(comps: list[dict], smap: dict) -> tuple[dict, dict, bytearray]:
     """Fresh Annex-F statistics areas: 64 DC bins + 256 AC bins per table
     id, plus the fixed bin pinned to the non-adapting state."""
-    dc = {smap[c["id"]][0]: bytearray(64) for c in comps}
-    ac = {smap[c["id"]][1]: bytearray(256) for c in comps}
+    dc = {smap[c["id"]][0]: bytearray(64)
+          for c in comps if c["id"] in smap}
+    ac = {smap[c["id"]][1]: bytearray(256)
+          for c in comps if c["id"] in smap}
     return dc, ac, bytearray([_QM_FIXED])
 
 
@@ -1613,6 +1624,179 @@ def _arith_encode_block(enc, dc_st, ac_st, fixed, dc_ctx, ci, last_dc,
         k += 1
     if ke < 63:
         enc.encode(ac_st, 3 * k - 3, 1)  # EOB
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Offset of the next real marker at/after ``pos`` (entropy data is
+    FF00-stuffed, so the first 0xFF not followed by 0x00 is a marker)."""
+    p = data.find(b"\xff", pos)
+    while p != -1 and p + 1 < len(data) and data[p + 1] == 0x00:
+        p = data.find(b"\xff", p + 2)
+    return p if p != -1 else len(data)
+
+
+def _decode_prog_scan_arith(data, pos, comps, smap, coefs, ss, se, ah, al,
+                            dri, cond_dc, cond_ac, w, h,
+                            hmax, vmax, mcux, mcuy) -> int:
+    """One progressive ARITHMETIC scan (SOF10): update the coefficient
+    store in place, return the offset of the next marker.  T.81 G.1.3.3 /
+    Annex F model: DC first = the sequential DC model on Al-scaled diffs,
+    DC refinement = one fixed-probability bit per block, AC first = the
+    sequential AC model over [Ss,Se] with Al scaling, AC refinement =
+    per-position correction/newly-significant decisions against the
+    previous stage's end-of-block index."""
+    sel = [(ci, c) for ci, c in enumerate(comps) if c["id"] in smap]
+    if (ss == 0 and se != 0) or (ss > 0 and (len(sel) != 1 or ss > se)) \
+            or not sel:
+        raise ValueError("malformed progressive scan header")
+    p1 = 1 << al
+
+    def fresh(p):
+        dc_st, ac_st, fixed = _arith_stats(comps, smap)
+        return (_ArithDecoder(data, p), dc_st, ac_st, fixed,
+                [0] * len(comps), [0] * len(comps))
+
+    def restart_pos(dec):
+        p = _next_marker(data, dec.bp if dec.marker_pos is None
+                         else dec.marker_pos)
+        if not (p + 1 < len(data) and 0xD0 <= data[p + 1] <= 0xD7):
+            raise ValueError("JPEG missing restart marker")
+        return p + 2
+
+    dec, dc_st, ac_st, fixed, dc_ctx, last_dc = fresh(pos)
+
+    if ss == 0 and ah == 0:       # DC first
+        units = (range(mcux * mcuy) if len(sel) > 1
+                 else range(np.prod(_comp_block_dims(sel[0][1], w, h,
+                                                     hmax, vmax))))
+        for n in units:
+            if dri and n and n % dri == 0:
+                dec, dc_st, ac_st, fixed, dc_ctx, last_dc = \
+                    fresh(restart_pos(dec))
+            for ci, c in (sel if len(sel) > 1 else sel):
+                tid = smap[c["id"]][0]
+                lo, up = cond_dc.get(tid, (0, 1))
+                if len(sel) > 1:
+                    my, mx = divmod(n, mcux)
+                    blocks = [coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                              for by in range(c["v"]) for bx in range(c["h"])]
+                else:
+                    bw_, _bh = _comp_block_dims(c, w, h, hmax, vmax)
+                    blocks = [coefs[ci][n // bw_, n % bw_]]
+                for block in blocks:
+                    st = dc_ctx[ci]
+                    if dec.decode(dc_st[tid], st) == 0:
+                        dc_ctx[ci] = 0
+                    else:
+                        sign = dec.decode(dc_st[tid], st + 1)
+                        m = dec.decode(dc_st[tid], st + 2 + sign)
+                        if m:
+                            k = 20
+                            while dec.decode(dc_st[tid], k):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ValueError("arith DC overflow")
+                                k += 1
+                        else:
+                            k = st + 2 + sign
+                        if m < (1 << lo) >> 1:
+                            dc_ctx[ci] = 0
+                        elif m > (1 << up) >> 1:
+                            dc_ctx[ci] = 12 + sign * 4
+                        else:
+                            dc_ctx[ci] = 4 + sign * 4
+                        v, bit = m, m
+                        k += 14
+                        while bit > 1:
+                            bit >>= 1
+                            if dec.decode(dc_st[tid], k):
+                                v |= bit
+                        v += 1
+                        last_dc[ci] += -v if sign else v
+                    block[0] = last_dc[ci] << al
+    elif ss == 0:                 # DC refinement: one fixed bit per block
+        for n in range(mcux * mcuy):
+            if dri and n and n % dri == 0:
+                dec, dc_st, ac_st, fixed, dc_ctx, last_dc = \
+                    fresh(restart_pos(dec))
+            my, mx = divmod(n, mcux)
+            for ci, c in sel:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        if dec.decode(fixed, 0):
+                            coefs[ci][my * c["v"] + by,
+                                      mx * c["h"] + bx][0] |= p1
+    else:
+        ci, c = sel[0]
+        tid = smap[c["id"]][1]
+        kx = cond_ac.get(tid, 5)
+        bw_, bh_ = _comp_block_dims(c, w, h, hmax, vmax)
+        n = 0
+        for by in range(bh_):
+            for bx in range(bw_):
+                if dri and n and n % dri == 0:
+                    dec, dc_st, ac_st, fixed, dc_ctx, last_dc = \
+                        fresh(restart_pos(dec))
+                n += 1
+                block = coefs[ci][by, bx]
+                if ah == 0:       # AC first
+                    k = ss
+                    while k <= se:
+                        st = 3 * (k - 1)
+                        if dec.decode(ac_st[tid], st):
+                            break
+                        while dec.decode(ac_st[tid], st + 1) == 0:
+                            st += 3
+                            k += 1
+                            if k > se:
+                                raise ValueError("arith AC run overflow")
+                        sign = dec.decode(fixed, 0)
+                        st += 2
+                        m = dec.decode(ac_st[tid], st)
+                        if m and dec.decode(ac_st[tid], st):
+                            m = 2
+                            st = 189 if k <= kx else 217
+                            while dec.decode(ac_st[tid], st):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ValueError("arith AC overflow")
+                                st += 1
+                        v, bit = m, m
+                        st += 14
+                        while bit > 1:
+                            bit >>= 1
+                            if dec.decode(ac_st[tid], st):
+                                v |= bit
+                        v += 1
+                        block[k] = (-v if sign else v) << al
+                        k += 1
+                else:             # AC refinement
+                    kex = 0
+                    for kk in range(se, 0, -1):
+                        if block[kk]:
+                            kex = kk
+                            break
+                    k = ss
+                    while k <= se:
+                        st = 3 * (k - 1)
+                        if k > kex and dec.decode(ac_st[tid], st):
+                            break
+                        while True:
+                            cur = int(block[k])
+                            if cur:
+                                if dec.decode(ac_st[tid], st + 2):
+                                    block[k] = cur + (p1 if cur > 0 else -p1)
+                                break
+                            if dec.decode(ac_st[tid], st + 1):
+                                block[k] = -p1 if dec.decode(fixed, 0) else p1
+                                break
+                            st += 3
+                            k += 1
+                            if k > se:
+                                raise ValueError("arith AC refine overflow")
+                        k += 1
+    return _next_marker(data, dec.bp if dec.marker_pos is None
+                        else dec.marker_pos)
 
 
 def _decode_scan_arith(data, pos, w, h, comps, smap, qt, dri,
@@ -1774,6 +1958,240 @@ def encode_jpeg_arith(img: np.ndarray, quality: int = 75,
     sos = seg(0xDA, bytes([nc]) + smap_hdr + b"\x00\x3f\x00")
     return (b"\xff\xd8" + dqt + sof + dac + dri + sos + bytes(body)
             + b"\xff\xd9")
+
+
+def encode_jpeg_progressive_arith(img: np.ndarray,
+                                  quality: int = 75) -> bytes:
+    """Deterministic PROGRESSIVE ARITHMETIC JPEG (SOF10): the same
+    quantized coefficients as ``encode_jpeg`` at the same quality,
+    reordered into the same scan script as ``encode_jpeg_progressive``
+    (interleaved DC first at Al=1, DC refinement, per-component AC first
+    and AC refinement) but entropy-coded by the QM coder under the
+    Annex-F/G model — so ``decode_jpeg`` of all four encodings yields
+    IDENTICAL pixels (the test oracle)."""
+    img = np.asarray(img)
+    color = img.ndim == 3 and img.shape[2] >= 3
+    if img.ndim == 3 and not color:
+        img = img[:, :, 0]
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255).astype(np.int32)
+    cond_dc, cond_ac = (0, 1), 5
+
+    if color:
+        h, w = img.shape[:2]
+        r_, g_, b_ = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        pad = lambda p: np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        sub = lambda p: pad(p).reshape(ph // 2, 2, pw // 2, 2) \
+            .mean(axis=(1, 3)) - 128.0
+        planes = [pad(y) - 128.0, sub(cb), sub(cr)]
+        samp = [(2, 2), (1, 1), (1, 1)]
+        comps_hdr = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        cids = [1, 2, 3]
+    else:
+        pix = img.astype(np.float64)
+        h, w = pix.shape
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [np.pad(pix, ((0, ph - h), (0, pw - w)),
+                         mode="edge") - 128.0]
+        samp = [(1, 1)]
+        comps_hdr = bytes([1, 0x11, 0])
+        cids = [1]
+    nc = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    coef: list[np.ndarray] = []
+    for p_ in planes:
+        bh_, bw_ = p_.shape[0] // 8, p_.shape[1] // 8
+        zz = np.zeros((bh_, bw_, 64), np.int32)
+        for by in range(bh_):
+            for bx in range(bw_):
+                blk = _DCT @ p_[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] @ _DCT.T
+                zz[by, bx] = np.round(
+                    blk.reshape(64)[_ZIGZAG] / q[_ZIGZAG]).astype(np.int32)
+        coef.append(zz)
+    comps = [{"id": cids[ci], "h": samp[ci][0], "v": samp[ci][1], "tq": 0}
+             for ci in range(nc)]
+    real = [_comp_block_dims(comps[ci], w, h, hmax, vmax)
+            for ci in range(nc)]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) \
+            + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    def sos(comp_specs: list[int], ss: int, se: int, ah: int,
+            al: int, body: bytes) -> bytes:
+        hdr = bytes([len(comp_specs)]) + b"".join(
+            bytes([cid, 0x00]) for cid in comp_specs) \
+            + bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, hdr) + body
+
+    smap_all = {cids[ci]: (0, 0) for ci in range(nc)}
+    scans: list[bytes] = []
+
+    def enc_dc_value(enc, dc_st, dc_ctx, last_dc, ci, diff):
+        lo, up = cond_dc
+        st = dc_ctx[ci]
+        if diff == 0:
+            enc.encode(dc_st, st, 0)
+            dc_ctx[ci] = 0
+            return
+        enc.encode(dc_st, st, 1)
+        sign = 1 if diff < 0 else 0
+        enc.encode(dc_st, st + 1, sign)
+        v = (-diff if sign else diff) - 1
+        if v == 0:
+            enc.encode(dc_st, st + 2 + sign, 0)
+            m, k = 0, st + 2 + sign
+        else:
+            enc.encode(dc_st, st + 2 + sign, 1)
+            m, k = 1, 20
+            while (m << 1) <= v:
+                enc.encode(dc_st, k, 1)
+                m <<= 1
+                k += 1
+            enc.encode(dc_st, k, 0)
+        if m < (1 << lo) >> 1:
+            dc_ctx[ci] = 0
+        elif m > (1 << up) >> 1:
+            dc_ctx[ci] = 12 + sign * 4
+        else:
+            dc_ctx[ci] = 4 + sign * 4
+        k += 14
+        bit = m
+        while bit > 1:
+            bit >>= 1
+            enc.encode(dc_st, k, 1 if v & bit else 0)
+
+    # scan 1: DC first, interleaved, Al=1
+    enc = _ArithEncoder()
+    dc_st, _ac, fixed = _arith_stats(comps, smap_all)
+    dc_ctx, last_dc = [0] * nc, [0] * nc
+    al = 1
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            hh, vv = samp[ci]
+            for by in range(vv):
+                for bx in range(hh):
+                    dc = int(coef[ci][my * vv + by, mx * hh + bx][0]) >> al
+                    enc_dc_value(enc, dc_st[0], dc_ctx, last_dc, ci,
+                                 dc - last_dc[ci])
+                    # enc_dc_value leaves last_dc untouched; track here
+                    last_dc[ci] = dc
+    scans.append(sos(cids, 0, 0, 0, 1, enc.flush()))
+
+    # scan 2: DC refinement (Ah=1, Al=0) — one fixed bit per block
+    enc = _ArithEncoder()
+    _dc2, _ac2, fixed = _arith_stats(comps, smap_all)
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            hh, vv = samp[ci]
+            for by in range(vv):
+                for bx in range(hh):
+                    enc.encode(fixed, 0,
+                               int(coef[ci][my * vv + by, mx * hh + bx][0]) & 1)
+    scans.append(sos(cids, 0, 0, 1, 0, enc.flush()))
+
+    # per-component AC first (Ss=1..63, Al=1) then AC refinement (Al=0)
+    for ci in range(nc):
+        bw_, bh_ = real[ci]
+        al = 1
+        enc = _ArithEncoder()
+        _dc3, ac_st, fixed = _arith_stats(comps, smap_all)
+        for by in range(bh_):
+            for bx in range(bw_):
+                zz = coef[ci][by, bx]
+                sv = [0] * 64
+                for k in range(1, 64):
+                    t = abs(int(zz[k])) >> al
+                    sv[k] = -t if zz[k] < 0 else t
+                ke = max((k for k in range(1, 64) if sv[k]), default=0)
+                k = 1
+                while k <= ke:
+                    st = 3 * (k - 1)
+                    enc.encode(ac_st[0], st, 0)
+                    while sv[k] == 0:
+                        enc.encode(ac_st[0], st + 1, 0)
+                        st += 3
+                        k += 1
+                    enc.encode(ac_st[0], st + 1, 1)
+                    val = sv[k]
+                    sign = 1 if val < 0 else 0
+                    enc.encode(fixed, 0, sign)
+                    st += 2
+                    v = (-val if sign else val) - 1
+                    if v == 0:
+                        enc.encode(ac_st[0], st, 0)
+                        m = 0
+                    else:
+                        enc.encode(ac_st[0], st, 1)
+                        if v == 1:
+                            enc.encode(ac_st[0], st, 0)
+                            m = 1
+                        else:
+                            enc.encode(ac_st[0], st, 1)
+                            m = 2
+                            st = 189 if k <= cond_ac else 217
+                            while (m << 1) <= v:
+                                enc.encode(ac_st[0], st, 1)
+                                m <<= 1
+                                st += 1
+                            enc.encode(ac_st[0], st, 0)
+                    st += 14
+                    bit = m
+                    while bit > 1:
+                        bit >>= 1
+                        enc.encode(ac_st[0], st, 1 if v & bit else 0)
+                    k += 1
+                if ke < 63:
+                    enc.encode(ac_st[0], 3 * k - 3, 1)
+        scans.append(sos([cids[ci]], 1, 63, 0, 1, enc.flush()))
+
+        enc = _ArithEncoder()
+        _dc4, ac_st, fixed = _arith_stats(comps, smap_all)
+        for by in range(bh_):
+            for bx in range(bw_):
+                zz = coef[ci][by, bx]
+                t_of = lambda k: abs(int(zz[k]))     # Al = 0
+                kex = max((k for k in range(1, 64)
+                           if t_of(k) >> 1), default=0)
+                ke = max((k for k in range(1, 64) if t_of(k)), default=0)
+                k = 1
+                while k <= 63:
+                    st = 3 * (k - 1)
+                    if k > kex:
+                        eob = k > ke
+                        enc.encode(ac_st[0], st, 1 if eob else 0)
+                        if eob:
+                            break
+                    while True:
+                        t = t_of(k)
+                        if t > 1:            # previously significant
+                            enc.encode(ac_st[0], st + 2, t & 1)
+                            break
+                        if t == 1:           # newly significant
+                            enc.encode(ac_st[0], st + 1, 1)
+                            enc.encode(fixed, 0, 1 if zz[k] < 0 else 0)
+                            break
+                        enc.encode(ac_st[0], st + 1, 0)
+                        st += 3
+                        k += 1
+                    k += 1
+        scans.append(sos([cids[ci]], 1, 63, 1, 0, enc.flush()))
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(q[z]) for z in _ZIGZAG))
+    sof = seg(0xCA, b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([nc]) + comps_hdr)
+    dac = seg(0xCC, bytes([0x00, (cond_dc[1] << 4) | cond_dc[0],
+                           0x10, cond_ac]))
+    return (b"\xff\xd8" + dqt + sof + dac + b"".join(scans) + b"\xff\xd9")
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:

@@ -14,11 +14,12 @@ this container, and none needed for these formats):
   palette+tRNS, all filters, sequential or Adam7-interlaced — round 4),
   BMP (24-bit), PGM — real container parsing + inflate;
 * WAV (PCM) — stdlib ``wave``;
-* baseline, progressive AND arithmetic-coded JPEG (huffman + IDCT +
-  4:2:0/4:2:2 chroma, restart intervals; spectral-selection +
-  successive-approximation scans; QM coder + Annex-F conditioning)
+* the complete JPEG DCT family — baseline, progressive, arithmetic
+  sequential AND arithmetic progressive (huffman + IDCT + 4:2:0/4:2:2
+  chroma, restart intervals; spectral-selection +
+  successive-approximation scans; QM coder + Annex-F/G conditioning)
   — the pure-numpy decoder in ``functions/codecs.py``;
-* anything else (progressive-arithmetic/12-bit JPEG, formats with no
+* anything else (lossless/hierarchical/12-bit JPEG, formats with no
   decoder here) raises ``UnsupportedCodec`` inside the row-level
   error channel — the clearly-marked stub seam where a full codec library
   plugs in.
@@ -47,10 +48,11 @@ MEDIA_SCHEMA = (
 class UnsupportedCodec(NotImplementedError):
     """STUB SEAM: raised for codecs/variants this container cannot decode.
     Round 3's baseline-JPEG decoder and round 4's progressive scans,
-    QM arithmetic coder, and complete PNG pixel-format coverage
-    (functions/codecs.py) narrowed this seam to progressive-arithmetic
-    (SOF10) / 12-bit JPEG and formats with no decoder at all (no
-    PIL/libav here).  Replace by a full codec lib in deployment."""
+    QM arithmetic coder (sequential + progressive — the complete DCT
+    family), and complete PNG pixel-format coverage (functions/codecs.py)
+    narrowed this seam to lossless/hierarchical/12-bit JPEG and formats
+    with no decoder at all (no PIL/libav here).  Replace by a full codec
+    lib in deployment."""
 
 
 def _decode_gray(codec: str, payload: bytes, w: int, h: int) -> np.ndarray:
@@ -67,11 +69,11 @@ def _decode_gray(codec: str, payload: bytes, w: int, h: int) -> np.ndarray:
 def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
     """Deterministic synthetic media table: gray images in four lossless
     encodings (RAWGRAY/PNG/BMP/PGM — identical pixel content per id, so
-    features are encoding-invariant), real baseline, progressive AND
-    arithmetic-coded JPEGs (lossy: features match within tolerance),
-    RAWGRAY 'videos' (stacked frames), PCM WAV audio, plus
-    progressive-arithmetic (SOF10) JPEG headers exercising the narrowed
-    stub seam."""
+    features are encoding-invariant), real baseline, progressive,
+    arithmetic AND progressive-arithmetic JPEGs (lossy: features match
+    within tolerance), RAWGRAY 'videos' (stacked frames), PCM WAV audio,
+    plus lossless (SOF3) JPEG headers exercising the narrowed stub
+    seam."""
     if partitions is None:
         partitions = max(4, spark.sparkContext.defaultParallelism)
 
@@ -84,11 +86,14 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
                 px = np.array([(i * 7 + p) % 251 for p in range(w * h)],
                               dtype=np.uint8).reshape(h, w)
                 if i % 11 == 10:
-                    if i % 8 == 0:
-                        # progressive-arithmetic header (SOF10): the
-                        # remaining (narrowed) UnsupportedCodec seam
+                    if i % 16 == 0:
+                        # lossless header (SOF3): the remaining
+                        # (narrowed) UnsupportedCodec seam
                         enc = codecs.encode_jpeg(px).replace(
-                            b"\xff\xc0", b"\xff\xca", 1)
+                            b"\xff\xc0", b"\xff\xc3", 1)
+                    elif i % 8 == 0:
+                        # REAL progressive-arithmetic JPEG (round 4)
+                        enc = codecs.encode_jpeg_progressive_arith(px)
                     elif i % 4 == 0:
                         # REAL arithmetic-coded JPEG (round 4): decodes
                         # to the same pixels as the baseline encoding

@@ -240,10 +240,10 @@ def test_jpeg_deterministic_and_dispatch():
     assert np.array_equal(codecs.decode_image("JPEG", enc), codecs.decode_jpeg(enc))
 
 
-def test_jpeg_progressive_arithmetic_is_unsupported_variant():
+def test_jpeg_lossless_is_unsupported_variant():
     enc = bytearray(codecs.encode_jpeg(_img(8, 8)))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xCA  # SOF10: progressive-arithmetic — the remaining seam
+    enc[i + 1] = 0xC3  # SOF3: lossless — the remaining seam
     with pytest.raises(codecs.UnsupportedVariant):
         codecs.decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
@@ -297,6 +297,25 @@ def test_jpeg_arithmetic_decodes_exactly_as_baseline():
     assert np.array_equal(
         codecs.decode_jpeg(codecs.encode_jpeg_arith(img, restart_interval=3)),
         codecs.decode_jpeg(codecs.encode_jpeg(img, restart_interval=3)))
+
+
+def test_jpeg_progressive_arithmetic_decodes_exactly_as_baseline():
+    """SOF10 (progressive-arithmetic — the same scan script as the
+    huffman progressive encoder, QM-coded) decodes to pixels identical to
+    the baseline encoding of the same coefficients: DC first/refine via
+    the Annex-F/G model, AC first/refine against the previous stage's
+    end-of-block index.  Gray, 4:2:0 color, flat and extreme images."""
+    rng = np.random.default_rng(5)
+    cases = [rng.integers(0, 256, (24, 17), dtype=np.uint8),
+             rng.integers(0, 256, (9, 13), dtype=np.uint8),
+             rng.integers(0, 256, (33, 41, 3), dtype=np.uint8),
+             np.zeros((16, 16), np.uint8),
+             np.full((10, 10), 255, np.uint8)]
+    for img in cases:
+        pa = codecs.encode_jpeg_progressive_arith(img)
+        assert b"\xff\xca" in pa  # SOF10
+        assert np.array_equal(codecs.decode_jpeg(pa),
+                              codecs.decode_jpeg(codecs.encode_jpeg(img)))
 
 
 def test_jpeg_mislabeled_progressive_header_fails_cleanly():

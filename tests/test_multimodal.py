@@ -74,11 +74,12 @@ def test_image_features_real_decode(media):
     bad = [r for r in feats.values() if r["error"] is not None]
     n_audio = media.where(F.col("kind") == "audio").count()
     assert len(ok) + len(bad) == N - n_audio  # audio handled by audio_features
-    # arithmetic-coded JPEG rows hit the (narrowed) stub seam, not a job
-    # failure; progressive rows now REALLY decode (round 4)
+    # lossless-JPEG rows hit the (narrowed) stub seam, not a job failure;
+    # progressive, arithmetic and progressive-arithmetic rows now REALLY
+    # decode (round 4)
     assert bad and all("UnsupportedCodec" in r["error"] for r in bad)
-    assert all("arithmetic" in r["error"] for r in bad)
-    assert all(r["media_id"] % 44 == 32 for r in bad)  # only the SOF9 rows
+    assert all("lossless" in r["error"] for r in bad)
+    assert all(r["media_id"] % 176 == 32 for r in bad)  # only the SOF3 rows
     jpeg_ids = {r["media_id"] for r in
                 media.where(F.col("codec") == "JPEG").select("media_id").collect()}
     # baseline AND progressive JPEG rows decode — lossy, so stats match
