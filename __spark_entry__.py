@@ -1260,6 +1260,15 @@ WHERE floor(({_COS_SQL}) * 1e6) IS NOT NULL
         ) + f" THEN '{lang}'"
         for i, lang in enumerate(_langs[:-1])
     )
+    # script-range short-circuits, generated from the same SCRIPT_LANGS
+    # table the operator uses (\\uXXXX → DuckDB's \\x{XXXX} class syntax)
+    from qwen_ocr_spark.operators.textstats import SCRIPT_LANGS
+    import re as _re_mod
+    _script_whens = "\n       ".join(
+        "WHEN regexp_matches(text, '{}') THEN '{}'".format(
+            _re_mod.sub(r"\\u([0-9a-fA-F]{4})", r"\\x{\1}", pat), lang)
+        for lang, pat in SCRIPT_LANGS
+    )
     q["lang_id"] = f"""
 WITH p AS (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS pt FROM documents),
 s AS (
@@ -1268,7 +1277,7 @@ s AS (
   FROM p
 )
 SELECT doc_id, lang,
-  CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+  CASE {_script_whens}
        WHEN greatest({", ".join(f"s_{l}" for l in _langs)}) <= 0 THEN 'und'
        {_argmax}
        ELSE '{_langs[-1]}' END AS pred_lang

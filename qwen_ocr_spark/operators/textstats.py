@@ -46,6 +46,23 @@ LANG_TRIGRAMS: dict[str, list[str]] = {
            "çã"],
 }
 
+# Script-range detectors, checked in order BEFORE the trigram argmax (a
+# webtext corpus is mostly separable by script; trigrams only need to
+# split Latin-script languages).  Kana precedes the CJK-ideograph check
+# because Japanese text mixes kanji with kana; the ideograph fallback
+# then reads 'zh'.  Ranges are the scripts' core BMP blocks.
+SCRIPT_LANGS: list[tuple[str, str]] = [
+    ("ja", "[\\u3040-\\u30ff]"),             # hiragana + katakana
+    ("ko", "[\\uac00-\\ud7af\\u1100-\\u11ff]"),  # hangul
+    ("zh", "[\\u4e00-\\u9fff]"),             # CJK ideographs
+    ("ru", "[\\u0400-\\u04ff]"),             # cyrillic
+    ("ar", "[\\u0600-\\u06ff]"),             # arabic
+    ("he", "[\\u05d0-\\u05ea]"),             # hebrew letters
+    ("el", "[\\u03b1-\\u03c9\\u0391-\\u03a9]"),  # greek letters
+    ("hi", "[\\u0900-\\u097f]"),             # devanagari
+    ("th", "[\\u0e01-\\u0e5b]"),             # thai
+]
+
 EN_STOPWORDS = ["the", "and", "of", "a", "to", "in", "is", "it", "that", "for"]
 
 
@@ -58,11 +75,13 @@ def _count_occurrences(col: Column, needle: str) -> Column:
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Char-trigram language ID: argmax of per-language trigram-occurrence
-    counts over ' '||lower(text)||' ', 'und' (undetermined) when all are
-    zero.  CJK presence short-circuits to 'zh'.  Ties break by fixed
-    language order (en, de, fr, es, it, pt).  Pure column expressions
-    (length-difference substring counting), whole-stage codegen'd."""
+    """Two-stage language ID, all pure column expressions (whole-stage
+    codegen'd): script-range short-circuits first (SCRIPT_LANGS order —
+    kana→ja before ideographs→zh, hangul→ko, cyrillic→ru, arabic→ar,
+    hebrew→he, greek→el, devanagari→hi, thai→th), then the char-trigram
+    argmax over ' '||lower(text)||' ' splits Latin-script languages;
+    'und' (undetermined) when every score is zero.  Trigram ties break by
+    fixed language order (en, de, fr, es, it, pt)."""
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     scores = [
         F.struct(
@@ -76,13 +95,12 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     best = F.array_max(F.array(*[
         s.withField("prio", F.lit(len(LANG_TRIGRAMS)) - s.getField("prio")) for s in scores
     ]))
-    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
-    return df.withColumn(
-        "pred_lang",
-        F.when(has_cjk, F.lit("zh"))
-         .when(best.getField("score") <= 0, F.lit("und"))
-         .otherwise(best.getField("lang")),
-    )
+    pred = F.when(best.getField("score") <= 0, F.lit("und")) \
+            .otherwise(best.getField("lang"))
+    for lang, pattern in reversed(SCRIPT_LANGS):
+        pred = F.when(F.col(text_col).rlike(pattern), F.lit(lang)) \
+                .otherwise(pred)
+    return df.withColumn("pred_lang", pred)
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:

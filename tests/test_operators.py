@@ -94,6 +94,29 @@ def test_lang_id_trigram_short_text(spark):
                      7: "it", 8: "pt", 9: "fr", 10: "de"}
 
 
+def test_lang_id_script_detection(spark):
+    """Round-4 script short-circuits: non-Latin scripts classify by
+    unicode range, with kana checked BEFORE CJK ideographs so Japanese
+    kanji+kana text reads ja, pure-ideograph text reads zh."""
+    rows = [
+        (1, "機械学習のモデルを訓練します"),          # kanji + kana → ja
+        (2, "模型 训练 数据"),                        # ideographs only → zh
+        (3, "기계 학습 모델을 훈련합니다"),            # hangul → ko
+        (4, "обучение модели машинного обучения"),   # cyrillic → ru
+        (5, "تدريب نموذج التعلم الآلي"),             # arabic → ar
+        (6, "אימון מודל למידת מכונה"),               # hebrew → he
+        (7, "εκπαίδευση μοντέλου μηχανικής μάθησης"),  # greek → el
+        (8, "मशीन लर्निंग मॉडल का प्रशिक्षण"),        # devanagari → hi
+        (9, "การฝึกโมเดลการเรียนรู้ของเครื่อง"),       # thai → th
+        (10, "machine learning model training"),     # latin → trigram → en
+    ]
+    preds = {r["doc_id"]: r["pred_lang"]
+             for r in textstats.with_lang_id(spark.createDataFrame(
+                 pd.DataFrame(rows, columns=["doc_id", "text"]))).collect()}
+    assert preds == {1: "ja", 2: "zh", 3: "ko", 4: "ru", 5: "ar",
+                     6: "he", 7: "el", 8: "hi", 9: "th", 10: "en"}
+
+
 def test_lang_id_wider_profiles(spark):
     """Round-3 marker widening (kept under the round-4 trigram table):
     it/pt classify, and Romance languages with overlapping function words
