@@ -41,9 +41,12 @@ and no rotated/skewed individual text runs; multiple fonts per page
 resolve per run via the Tf name) and
 returns empty pages for anything else (error-channel semantics — a
 malformed document never fails the job, mirroring
-/root/reference/src/models/document_job.py:229-239).  Documents carrying
-an ``/Encrypt`` dictionary raise the typed ``EncryptedPdfError`` so the
-error channel records the reason explicitly.
+/root/reference/src/models/document_job.py:229-239).  Encrypted
+documents: Standard-security-handler RC4 (40/128-bit) with an EMPTY user
+password — the common permissions-only crawl form — decrypts and parses
+normally (round 4); a real password, AES, or a non-Standard handler
+raises the typed ``EncryptedPdfError`` so the error channel records the
+reason explicitly.
 
 Coordinates: PDF user space is bottom-left origin; everything is converted
 to TOP-LEFT origin immediately at parse so downstream (bbox 0-1000
@@ -176,7 +179,8 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
              cid_tounicode: bool = True,
              differences_encoding: bool = False, lzw: bool = False,
              png_predictor: bool = False,
-             inline_images: bool = False) -> bytes:
+             inline_images: bool = False,
+             encrypt: str | None = None) -> bytes:
     """Serialize PageSpecs into a well-formed PDF file.
 
     Encoding knobs, each matching a real-crawl prevalence axis and each
@@ -228,6 +232,13 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
     * ``inline_images`` — images are emitted as inline ``BI … ID … EI``
       operators inside the content stream instead of image XObjects (the
       small-image form many generators use).
+    * ``encrypt`` — ``"rc4-40"`` (V1/R2) or ``"rc4-128"`` (V2/R3):
+      Standard security handler with EMPTY user and owner passwords (the
+      common permissions-only crawl encryption): every stream payload is
+      RC4-encrypted under the per-object key, /Encrypt + /ID land in the
+      trailer (or XRef dict).  Not combinable with ``object_streams``
+      (the writer keeps the ObjStm path plaintext-only; the PARSER
+      handles encrypted ObjStm regardless, decrypting before unpack).
     """
     if object_streams:
         xref_stream = True
@@ -435,6 +446,39 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
     )
     catalog_num = add(f"<< /Type /Catalog /Pages {pages_node_num} 0 R >>".encode())
 
+    trailer_extra = ""
+    if encrypt:
+        if encrypt not in ("rc4-40", "rc4-128"):
+            raise ValueError(f"unknown encrypt mode {encrypt!r}")
+        if object_streams:
+            raise ValueError("encrypt + object_streams unsupported by the "
+                             "writer (parser handles the combination)")
+        import hashlib as _hl
+        r_, n_ = (2, 5) if encrypt == "rc4-40" else (3, 16)
+        fid = _hl.md5(b"|".join(objs)).digest()
+        o_val = _std_owner_entry(r_, n_)
+        p_ = -1
+        fkey = _std_file_key(o_val, p_, fid, r_, n_)
+        u_val = _std_user_check(fkey, fid, r_)
+        if r_ == 3:
+            u_val += b"\x00" * 16  # R3 compares 16 bytes; pad to 32
+        length_ent = f" /Length {n_ * 8}" if r_ == 3 else ""
+        # stream=True keeps the dict loose (never ObjStm-packed): it must
+        # be readable BEFORE any decryption
+        enc_num = add(
+            f"<< /Filter /Standard /V {1 if r_ == 2 else 2} /R {r_}"
+            f"{length_ent} /O <{o_val.hex().upper()}> "
+            f"/U <{u_val.hex().upper()}> /P {p_} >>".encode(), stream=True)
+        for i in range(1, len(objs)):  # every stream except the dict itself
+            if not is_stream[i - 1]:
+                continue
+            body = objs[i - 1]
+            s_, ln_ = _stream_span(body, {})
+            objs[i - 1] = body[:s_] \
+                + _rc4(_obj_key(fkey, i), body[s_:s_ + ln_]) + body[s_ + ln_:]
+        id_hex = f"<{fid.hex().upper()}>"
+        trailer_extra = f" /Encrypt {enc_num} 0 R /ID [{id_hex} {id_hex}]"
+
     bodies = [b.replace(b"{PAGES}", str(pages_node_num).encode()) for b in objs]
 
     if not xref_stream:
@@ -449,7 +493,8 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
         for off in offsets[1:]:
             out += f"{off:010d} 00000 n \n".encode()
         out += (
-            f"trailer\n<< /Size {len(objs) + 1} /Root {catalog_num} 0 R >>\n"
+            f"trailer\n<< /Size {len(objs) + 1} /Root {catalog_num} 0 R"
+            f"{trailer_extra} >>\n"
             f"startxref\n{xref_at}\n%%EOF\n"
         ).encode()
         return bytes(out)
@@ -507,7 +552,8 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
         filt = " /Filter /FlateDecode"
     out += (
         f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
-        f"/Root {catalog_num} 0 R{filt} /Length {len(payload)} >>\nstream\n"
+        f"/Root {catalog_num} 0 R{trailer_extra}{filt} "
+        f"/Length {len(payload)} >>\nstream\n"
     ).encode() + payload + b"\nendstream\nendobj\n"
     out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
@@ -832,12 +878,199 @@ def _unpack_object_streams(objs: dict[int, bytes]) -> None:
 
 
 class EncryptedPdfError(ValueError):
-    """Typed error for documents carrying an /Encrypt dictionary: their
-    content streams are RC4/AES-encrypted and this parser (deliberately)
-    ships no decryption, so the document routes to the error channel with
-    an explicit reason instead of whatever an opaque byte-scan happens to
-    produce.  The reference accepted encrypted-but-empty-password PDFs
-    via poppler (/root/reference/src/pdf_handler.py:44-55)."""
+    """Typed error for encrypted documents this parser cannot open: a
+    non-Standard security handler, AES (V>=4), or a NON-EMPTY user
+    password.  Standard-handler RC4 documents with an empty user password
+    — the overwhelmingly common 'encrypted' crawl PDF, where /Encrypt
+    only enforces owner permissions — DECRYPT and parse normally (round
+    4; V1/R2 40-bit and V2/R3 128-bit, the poppler behavior the
+    reference relied on, /root/reference/src/pdf_handler.py:44-55).
+    Everything else routes to the error channel with an explicit
+    reason."""
+
+
+# --- Standard security handler (PDF 32000 §7.6.3; RC4 variants) --------
+
+_PDF_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(o: bytes, p: int, fid: bytes, r: int, n: int) -> bytes:
+    """Algorithm 2 file key for the EMPTY user password."""
+    import hashlib
+    h = hashlib.md5(_PDF_PAD + o[:32]
+                    + (p & 0xFFFFFFFF).to_bytes(4, "little") + fid).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _std_user_check(key: bytes, fid: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3) expected /U for this file key; R3
+    compares only the first 16 bytes."""
+    import hashlib
+    if r == 2:
+        return _rc4(key, _PDF_PAD)
+    u = hashlib.md5(_PDF_PAD + fid).digest()
+    for i in range(20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u
+
+
+def _std_owner_entry(r: int, n: int) -> bytes:
+    """Algorithm 3 /O entry for EMPTY owner and user passwords."""
+    import hashlib
+    h = hashlib.md5(_PDF_PAD).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:n]
+    o = _rc4(key, _PDF_PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _obj_key(file_key: bytes, num: int) -> bytes:
+    """Per-object RC4 key: MD5(file key + objnum(3 LE) + gen(2 LE))."""
+    import hashlib
+    return hashlib.md5(file_key + num.to_bytes(3, "little")
+                       + b"\x00\x00").digest()[:min(len(file_key) + 5, 16)]
+
+
+def _pdf_string_value(src: bytes) -> bytes | None:
+    """First string operand in ``src``: hex ``<...>`` or literal ``(...)``
+    (named/octal escapes honored) → raw bytes; None if absent."""
+    hm = re.match(rb"\s*<([0-9A-Fa-f\s]*)>", src)
+    if hm:
+        h = re.sub(rb"\s", b"", hm.group(1))
+        if len(h) % 2:
+            h += b"0"
+        return bytes.fromhex(h.decode())
+    lm = re.match(rb"\s*\((.*?)(?<!\\)\)", src, re.S)
+    if lm:
+        return _unescape_pdf_string(
+            lm.group(1).decode("latin-1")).encode("latin-1")
+    return None
+
+
+def _stream_span(body: bytes, objs: dict[int, bytes]) -> tuple[int, int] | None:
+    """(start, length) of a stream payload inside an object body, /Length
+    resolved directly or through an indirect reference; None if no
+    stream."""
+    sm = _STREAM_START_RE.search(body)
+    if not sm:
+        return None
+    lm = _LENGTH_RE.search(body[:sm.start()])
+    if lm:
+        return sm.end(), int(lm.group(1))
+    rm = _LENGTH_REF_RE.search(body[:sm.start()])
+    if rm:
+        lobj = objs.get(int(rm.group(1)), b"")
+        nm = re.search(rb"(\d+)", lobj)
+        if nm:
+            return sm.end(), int(nm.group(1))
+    em = body.find(b"endstream", sm.end())
+    return (sm.end(), max(0, em - sm.end())) if em != -1 else None
+
+
+def _decrypt_pdf(data: bytes, objs: dict[int, bytes]) -> None:
+    """Open a Standard-security-handler RC4 document with an EMPTY user
+    password: derive the file key, verify /U, then decrypt every stream
+    payload in place (except /XRef streams, which the spec leaves
+    unencrypted).  Strings inside objects unpacked from /ObjStm are
+    covered by the ObjStm stream's own decryption; loose strings in
+    top-level dicts are not rewritten (nothing in the extraction subset
+    reads them).  Raises EncryptedPdfError when the handler, cipher, or
+    password is outside this subset."""
+    enc_ref = re.compile(rb"/Encrypt\s+(\d+)\s+0\s+R")
+    enc_num = None
+    fid = b""
+    for tm in re.finditer(rb"trailer", data):
+        window = data[tm.end():tm.end() + 2048]
+        m = enc_ref.search(window)
+        if m:
+            enc_num = int(m.group(1))
+            im = re.search(rb"/ID\s*\[", window)
+            if im:
+                v = _pdf_string_value(window[im.end():])
+                if v is not None:
+                    fid = v
+    if enc_num is None:
+        for num, body in objs.items():
+            sm = _STREAM_START_RE.search(body)
+            head = body[:sm.start()] if sm else body
+            if b"/XRef" in head:
+                m = enc_ref.search(head)
+                if m:
+                    enc_num = int(m.group(1))
+                    im = re.search(rb"/ID\s*\[", head)
+                    if im:
+                        v = _pdf_string_value(head[im.end():])
+                        if v is not None:
+                            fid = v
+    edict = objs.get(enc_num or -1, b"")
+    if not edict:
+        raise EncryptedPdfError("/Encrypt dictionary not found")
+    if not re.search(rb"/Filter\s*/Standard", edict):
+        raise EncryptedPdfError("non-Standard security handler")
+    vm = re.search(rb"/V\s+(\d+)", edict)
+    rm = re.search(rb"/R\s+(\d+)", edict)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 2
+    if v not in (1, 2) or r not in (2, 3):
+        raise EncryptedPdfError(f"unsupported encryption V={v} R={r} "
+                                "(AES and newer handlers out of subset)")
+    lm = re.search(rb"/Length\s+(\d+)", edict)
+    n = (int(lm.group(1)) // 8) if lm and v == 2 else 5
+    om = re.search(rb"/O\s*(\(|<)", edict)
+    um = re.search(rb"/U\s*(\(|<)", edict)
+    pm = re.search(rb"/P\s+(-?\d+)", edict)
+    if not (om and um and pm):
+        raise EncryptedPdfError("malformed /Encrypt dictionary")
+    o_val = _pdf_string_value(edict[om.end() - 1:])
+    u_val = _pdf_string_value(edict[um.end() - 1:])
+    if o_val is None or u_val is None:
+        raise EncryptedPdfError("malformed /O or /U entry")
+    key = _std_file_key(o_val, int(pm.group(1)), fid, r, n)
+    want = _std_user_check(key, fid, r)
+    cmp_len = 16 if r >= 3 else 32
+    if u_val[:cmp_len] != want[:cmp_len]:
+        raise EncryptedPdfError(
+            "user password is set (empty-password key check failed)")
+    for num in list(objs):
+        body = objs[num]
+        span = _stream_span(body, objs)
+        if span is None:
+            continue
+        head = body[:span[0]]
+        if b"/XRef" in head and b"/Type" in head:
+            continue  # xref streams are never encrypted
+        s, ln = span
+        ln = min(ln, len(body) - s)
+        objs[num] = body[:s] + _rc4(_obj_key(key, num), body[s:s + ln]) \
+            + body[s + ln:]
 
 
 # Adobe Glyph List subset: ASCII + Latin-1 supplement — the names real
@@ -1360,11 +1593,12 @@ def parse_pdf(data: bytes) -> list[PageRuns]:
     # all parse the same way.  Objects packed in /ObjStm streams are
     # unpacked into the same table here.
     objs = _scan_objects(data)
-    _unpack_object_streams(objs)
     if _is_encrypted(data, objs):
-        raise EncryptedPdfError(
-            "document has an /Encrypt dictionary; decryption is out of "
-            "scope — routed to the error channel")
+        # Standard-handler RC4 with an empty user password decrypts in
+        # place (streams first — ObjStm payloads must be plaintext before
+        # unpacking); anything else raises the typed EncryptedPdfError
+        _decrypt_pdf(data, objs)
+    _unpack_object_streams(objs)
 
     # locate the Pages node for /Kids ordering
     kids_order: list[int] = []

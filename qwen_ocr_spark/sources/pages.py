@@ -171,12 +171,21 @@ def _pdf_doc(r: random.Random, doc_id: int, max_pages: int = 14) -> tuple[bytes,
     # streams, many emit TJ kerned arrays, hex string operands, PDF 1.5
     # xref streams, and object-stream packing; round 4 adds simple-font
     # /Encoding /Differences remapping, LZWDecode filters, PNG-predictored
-    # streams, inline BI/ID/EI images, and CID fonts whose text mapping
-    # lives only in the embedded TrueType cmap (no /ToUnicode) —
-    # extraction is invariant to all ten axes (golden-tested)
+    # streams, inline BI/ID/EI images, CID fonts whose text mapping
+    # lives only in the embedded TrueType cmap (no /ToUnicode), and
+    # RC4-encrypted files with empty passwords (permissions-only
+    # encryption) — extraction is invariant to all eleven axes
+    # (golden-tested)
     cid = doc_id % 17 == 0
+    enc = None
+    if doc_id % 7 != 0:  # writer doesn't combine encrypt with ObjStm
+        if doc_id % 41 == 0:
+            enc = "rc4-40"
+        elif doc_id % 43 == 0:
+            enc = "rc4-128"
     return (
-        make_pdf(pages, compress=doc_id % 2 == 0, tj_arrays=doc_id % 3 == 0,
+        make_pdf(pages, encrypt=enc,
+                 compress=doc_id % 2 == 0, tj_arrays=doc_id % 3 == 0,
                  hex_strings=doc_id % 5 == 0, xref_stream=doc_id % 11 == 0,
                  object_streams=doc_id % 7 == 0,
                  tm_positioning=doc_id % 13 == 0,

@@ -217,6 +217,12 @@ to the discussion with even more words of content.</p>
     # embedded TrueType program's format-4 cmap (the scanned/OCR layout)
     pdf_case("pdf_cid_no_tounicode", flate_spec, cid_font=True,
              cid_tounicode=False, compress=True)
+    # RC4-encrypted with empty passwords (permissions-only encryption):
+    # decrypts via the Standard security handler, extraction invariant
+    pdf_case("pdf_encrypted_rc4_40", flate_spec, encrypt="rc4-40",
+             compress=True)
+    pdf_case("pdf_encrypted_rc4_128", flate_spec, encrypt="rc4-128",
+             compress=True)
     pdf_case("pdf_lzw", flate_spec, lzw=True)
     pdf_case("pdf_predictor", flate_spec, compress=True, png_predictor=True)
     pdf_case("pdf_inline_images", flate_spec, inline_images=True,

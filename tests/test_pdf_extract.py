@@ -633,3 +633,34 @@ def test_literal_string_octal_and_continuation_escapes():
     patched = base.replace(b"(PLACEHOLDER)", repl)
     runs = parse_pdf(patched)[0].runs
     assert runs[0].text == "café ("
+
+
+def test_encrypted_rc4_empty_password_decrypts():
+    """Standard-security-handler RC4 with an empty user password — the
+    common permissions-only crawl encryption — decrypts and parses
+    normally, across both key lengths and stacked encoding variants."""
+    pages = [PageSpec(texts=[TextSpec(72, 700, 12, "Secret heading text"),
+                             TextSpec(72, 650, 12, "encrypted body line")])]
+    want = ["Secret heading text", "encrypted body line"]
+    for mode in ("rc4-40", "rc4-128"):
+        for kw in ({}, {"compress": True},
+                   {"xref_stream": True, "compress": True},
+                   {"cid_font": True}, {"lzw": True}):
+            pdf = make_pdf(pages, encrypt=mode, **kw)
+            assert b"/Encrypt" in pdf and b"Secret" not in pdf
+            got = [r.text for r in parse_pdf(pdf)[0].runs]
+            assert got == want, (mode, kw, got)
+
+
+def test_encrypted_pdf_out_of_subset_routes_typed_error():
+    """A real (non-empty) user password and AES-era handlers still route
+    to the typed error channel, with the reason recorded."""
+    import re as _re
+    from qwen_ocr_spark.functions.pdfx import EncryptedPdfError
+    pdf = make_pdf([PageSpec(texts=[TextSpec(72, 700, 12, "x")])],
+                   encrypt="rc4-40")
+    bad_u = _re.sub(rb"/U <[0-9A-F]+>", b"/U <" + b"00" * 32 + b">", pdf)
+    with pytest.raises(EncryptedPdfError, match="password"):
+        parse_pdf(bad_u)
+    with pytest.raises(EncryptedPdfError, match="AES"):
+        parse_pdf(pdf.replace(b"/V 1 /R 2", b"/V 4 /R 4"))
