@@ -42,11 +42,12 @@ resolve per run via the Tf name) and
 returns empty pages for anything else (error-channel semantics — a
 malformed document never fails the job, mirroring
 /root/reference/src/models/document_job.py:229-239).  Encrypted
-documents: Standard-security-handler RC4 (40/128-bit) with an EMPTY user
-password — the common permissions-only crawl form — decrypts and parses
-normally (round 4); a real password, AES, or a non-Standard handler
-raises the typed ``EncryptedPdfError`` so the error channel records the
-reason explicitly.
+documents: Standard-security-handler RC4 (40/128-bit) and AES-128
+(V4/AESV2) with an EMPTY user password — the common permissions-only
+crawl forms — decrypt and parse normally (round 4); a real password,
+AES-256, or a non-Standard handler raises the typed
+``EncryptedPdfError`` so the error channel records the reason
+explicitly.
 
 Coordinates: PDF user space is bottom-left origin; everything is converted
 to TOP-LEFT origin immediately at parse so downstream (bbox 0-1000
@@ -232,10 +233,12 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
     * ``inline_images`` — images are emitted as inline ``BI … ID … EI``
       operators inside the content stream instead of image XObjects (the
       small-image form many generators use).
-    * ``encrypt`` — ``"rc4-40"`` (V1/R2) or ``"rc4-128"`` (V2/R3):
+    * ``encrypt`` — ``"rc4-40"`` (V1/R2), ``"rc4-128"`` (V2/R3) or
+      ``"aes-128"`` (V4/R4, /CFM /AESV2 — the Acrobat-7+ form):
       Standard security handler with EMPTY user and owner passwords (the
       common permissions-only crawl encryption): every stream payload is
-      RC4-encrypted under the per-object key, /Encrypt + /ID land in the
+      encrypted under the per-object key (AES-CBC with IV prefix and
+      padding for aes-128), /Encrypt + /ID land in the
       trailer (or XRef dict).  Not combinable with ``object_streams``
       (the writer keeps the ObjStm path plaintext-only; the PARSER
       handles encrypted ObjStm regardless, decrypting before unpack).
@@ -448,34 +451,48 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
 
     trailer_extra = ""
     if encrypt:
-        if encrypt not in ("rc4-40", "rc4-128"):
+        if encrypt not in ("rc4-40", "rc4-128", "aes-128"):
             raise ValueError(f"unknown encrypt mode {encrypt!r}")
         if object_streams:
             raise ValueError("encrypt + object_streams unsupported by the "
                              "writer (parser handles the combination)")
         import hashlib as _hl
-        r_, n_ = (2, 5) if encrypt == "rc4-40" else (3, 16)
+        aes_ = encrypt == "aes-128"
+        r_, n_ = {"rc4-40": (2, 5), "rc4-128": (3, 16),
+                  "aes-128": (4, 16)}[encrypt]
         fid = _hl.md5(b"|".join(objs)).digest()
-        o_val = _std_owner_entry(r_, n_)
+        o_val = _std_owner_entry(min(r_, 3), n_)
         p_ = -1
         fkey = _std_file_key(o_val, p_, fid, r_, n_)
         u_val = _std_user_check(fkey, fid, r_)
-        if r_ == 3:
-            u_val += b"\x00" * 16  # R3 compares 16 bytes; pad to 32
-        length_ent = f" /Length {n_ * 8}" if r_ == 3 else ""
+        if r_ >= 3:
+            u_val += b"\x00" * 16  # R3+ compares 16 bytes; pad to 32
+        length_ent = f" /Length {n_ * 8}" if r_ >= 3 else ""
+        cf_ent = (" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                  "/StmF /StdCF /StrF /StdCF" if aes_ else "")
+        v_ = {2: 1, 3: 2, 4: 4}[r_]
         # stream=True keeps the dict loose (never ObjStm-packed): it must
         # be readable BEFORE any decryption
         enc_num = add(
-            f"<< /Filter /Standard /V {1 if r_ == 2 else 2} /R {r_}"
-            f"{length_ent} /O <{o_val.hex().upper()}> "
+            f"<< /Filter /Standard /V {v_} /R {r_}"
+            f"{length_ent}{cf_ent} /O <{o_val.hex().upper()}> "
             f"/U <{u_val.hex().upper()}> /P {p_} >>".encode(), stream=True)
         for i in range(1, len(objs)):  # every stream except the dict itself
             if not is_stream[i - 1]:
                 continue
             body = objs[i - 1]
             s_, ln_ = _stream_span(body, {})
-            objs[i - 1] = body[:s_] \
-                + _rc4(_obj_key(fkey, i), body[s_:s_ + ln_]) + body[s_ + ln_:]
+            if aes_:
+                iv = _hl.md5(fid + i.to_bytes(4, "big")).digest()
+                ct = _aes_cbc_encrypt(_obj_key(fkey, i, aes=True), iv,
+                                      body[s_:s_ + ln_])
+                head = _LENGTH_RE.sub(b"/Length " + str(len(ct)).encode(),
+                                      body[:s_], count=1)
+                objs[i - 1] = head + ct + body[s_ + ln_:]
+            else:
+                objs[i - 1] = body[:s_] \
+                    + _rc4(_obj_key(fkey, i), body[s_:s_ + ln_]) \
+                    + body[s_ + ln_:]
         id_hex = f"<{fid.hex().upper()}>"
         trailer_extra = f" /Encrypt {enc_num} 0 R /ID [{id_hex} {id_hex}]"
 
@@ -879,14 +896,14 @@ def _unpack_object_streams(objs: dict[int, bytes]) -> None:
 
 class EncryptedPdfError(ValueError):
     """Typed error for encrypted documents this parser cannot open: a
-    non-Standard security handler, AES (V>=4), or a NON-EMPTY user
-    password.  Standard-handler RC4 documents with an empty user password
-    — the overwhelmingly common 'encrypted' crawl PDF, where /Encrypt
-    only enforces owner permissions — DECRYPT and parse normally (round
-    4; V1/R2 40-bit and V2/R3 128-bit, the poppler behavior the
-    reference relied on, /root/reference/src/pdf_handler.py:44-55).
-    Everything else routes to the error channel with an explicit
-    reason."""
+    non-Standard security handler, AES-256 (V5), or a NON-EMPTY user
+    password.  Standard-handler documents with an empty user password —
+    the overwhelmingly common 'encrypted' crawl PDF, where /Encrypt only
+    enforces owner permissions — DECRYPT and parse normally (round 4):
+    RC4 V1/R2 40-bit, RC4 V2/R3 128-bit, AND AES-128 V4/R4 (/CFM
+    /AESV2), the poppler behavior the reference relied on
+    (/root/reference/src/pdf_handler.py:44-55).  Everything else routes
+    to the error channel with an explicit reason."""
 
 
 # --- Standard security handler (PDF 32000 §7.6.3; RC4 variants) --------
@@ -914,11 +931,155 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _std_file_key(o: bytes, p: int, fid: bytes, r: int, n: int) -> bytes:
+def _aes_tables() -> tuple[list[int], list[int]]:
+    """AES S-box + inverse, GENERATED from the FIPS-197 definition
+    (multiplicative inverse in GF(2^8) + affine transform) rather than
+    transcribed — the end-to-end cipher is verified against the FIPS-197
+    Appendix C test vector in the test suite."""
+    sbox = [0] * 256
+    p = q = 1
+    while True:
+        # p *= 3 in GF(2^8)
+        p = p ^ ((p << 1) ^ (0x1B if p & 0x80 else 0)) & 0xFF
+        # q /= 3 (multiply by inverse of 3): q ^= q<<1 ^ q<<2 ^ q<<4 chain
+        q ^= (q << 1) & 0xFF
+        q ^= (q << 2) & 0xFF
+        q ^= (q << 4) & 0xFF
+        if q & 0x80:
+            q ^= 0x09
+        s = q ^ ((q << 1) | (q >> 7)) ^ ((q << 2) | (q >> 6)) \
+            ^ ((q << 3) | (q >> 5)) ^ ((q << 4) | (q >> 4))
+        sbox[p] = (s ^ 0x63) & 0xFF
+        if p == 1:
+            break
+    sbox[0] = 0x63
+    inv = [0] * 256
+    for i, v in enumerate(sbox):
+        inv[v] = i
+    return sbox, inv
+
+
+_AES_SBOX, _AES_INV_SBOX = _aes_tables()
+
+
+def _gmul(a: int, b: int) -> int:
+    r = 0
+    for _ in range(8):
+        if b & 1:
+            r ^= a
+        a = ((a << 1) ^ (0x1B if a & 0x80 else 0)) & 0xFF
+        b >>= 1
+    return r
+
+
+def _aes_expand_key(key: bytes) -> list[list[int]]:
+    """AES-128 key schedule → 11 round keys of 16 bytes."""
+    w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_AES_SBOX[b] for b in t]
+            t[0] ^= rcon
+            rcon = ((rcon << 1) ^ (0x11B if rcon & 0x80 else 0)) & 0xFF
+        w.append([w[i - 4][k] ^ t[k] for k in range(4)])
+    return [[b for word in w[r * 4:r * 4 + 4] for b in word]
+            for r in range(11)]
+
+
+def _aes_block(block: bytes, rk: list[list[int]], decrypt: bool) -> bytes:
+    """One 16-byte AES-128 block (FIPS-197 cipher / inverse cipher).
+    State is column-major: state[r][c] = input[4c + r]."""
+    s = [[block[4 * c + r] for c in range(4)] for r in range(4)]
+
+    def add_rk(k):
+        for c in range(4):
+            for r in range(4):
+                s[r][c] ^= rk[k][4 * c + r]
+
+    def sub(box):
+        for r in range(4):
+            for c in range(4):
+                s[r][c] = box[s[r][c]]
+
+    def shift(inv):
+        for r in range(1, 4):
+            off = -r if inv else r
+            s[r] = s[r][off:] + s[r][:off]
+
+    def mix(inv):
+        m = ((0x0E, 0x0B, 0x0D, 0x09) if inv else (2, 3, 1, 1))
+        for c in range(4):
+            col = [s[r][c] for r in range(4)]
+            for r in range(4):
+                s[r][c] = (_gmul(col[0], m[(0 - r) % 4])
+                           ^ _gmul(col[1], m[(1 - r) % 4])
+                           ^ _gmul(col[2], m[(2 - r) % 4])
+                           ^ _gmul(col[3], m[(3 - r) % 4]))
+
+    if not decrypt:
+        add_rk(0)
+        for rnd in range(1, 10):
+            sub(_AES_SBOX)
+            shift(False)
+            mix(False)
+            add_rk(rnd)
+        sub(_AES_SBOX)
+        shift(False)
+        add_rk(10)
+    else:
+        add_rk(10)
+        for rnd in range(9, 0, -1):
+            shift(True)
+            sub(_AES_INV_SBOX)
+            add_rk(rnd)
+            mix(True)
+        shift(True)
+        sub(_AES_INV_SBOX)
+        add_rk(0)
+    return bytes(s[r][c] for c in range(4) for r in range(4))
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2 stream content: 16-byte IV prefix + CBC ciphertext with
+    1-16 bytes of RFC-2898 padding.  Malformed input → b'' (the caller's
+    error-channel semantics)."""
+    if len(data) < 32 or len(data) % 16:
+        return b""
+    rk = _aes_expand_key(key)
+    prev = data[:16]
+    out = bytearray()
+    for i in range(16, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(a ^ b for a, b in
+                     zip(_aes_block(blk, rk, decrypt=True), prev))
+        prev = blk
+    pad = out[-1]
+    return bytes(out[:-pad]) if 1 <= pad <= 16 else b""
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rk = _aes_expand_key(key)
+    pad = 16 - len(data) % 16
+    data += bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _aes_block(blk, rk, decrypt=False)
+        out += prev
+    return bytes(out)
+
+
+def _std_file_key(o: bytes, p: int, fid: bytes, r: int, n: int,
+                  metadata_encrypted: bool = True) -> bytes:
     """Algorithm 2 file key for the EMPTY user password."""
     import hashlib
+    extra = b"" if metadata_encrypted or r < 4 else b"\xff\xff\xff\xff"
     h = hashlib.md5(_PDF_PAD + o[:32]
-                    + (p & 0xFFFFFFFF).to_bytes(4, "little") + fid).digest()
+                    + (p & 0xFFFFFFFF).to_bytes(4, "little") + fid
+                    + extra).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n]).digest()
@@ -952,11 +1113,13 @@ def _std_owner_entry(r: int, n: int) -> bytes:
     return o
 
 
-def _obj_key(file_key: bytes, num: int) -> bytes:
-    """Per-object RC4 key: MD5(file key + objnum(3 LE) + gen(2 LE))."""
+def _obj_key(file_key: bytes, num: int, aes: bool = False) -> bytes:
+    """Per-object key: MD5(file key + objnum(3 LE) + gen(2 LE)), with the
+    AESV2 'sAlT' suffix when the crypt filter is AES."""
     import hashlib
-    return hashlib.md5(file_key + num.to_bytes(3, "little")
-                       + b"\x00\x00").digest()[:min(len(file_key) + 5, 16)]
+    return hashlib.md5(file_key + num.to_bytes(3, "little") + b"\x00\x00"
+                       + (b"sAlT" if aes else b"")
+                       ).digest()[:min(len(file_key) + 5, 16)]
 
 
 def _pdf_string_value(src: bytes) -> bytes | None:
@@ -1039,11 +1202,18 @@ def _decrypt_pdf(data: bytes, objs: dict[int, bytes]) -> None:
     rm = re.search(rb"/R\s+(\d+)", edict)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
-    if v not in (1, 2) or r not in (2, 3):
+    aes = False
+    if v == 4:
+        cfm = re.search(rb"/CFM\s*/(\w+)", edict)
+        if not cfm or cfm.group(1) != b"AESV2":
+            raise EncryptedPdfError(
+                "V4 crypt filter other than AESV2 out of subset")
+        aes = True
+    elif v not in (1, 2) or r not in (2, 3):
         raise EncryptedPdfError(f"unsupported encryption V={v} R={r} "
-                                "(AES and newer handlers out of subset)")
+                                "(AES-256/newer handlers out of subset)")
     lm = re.search(rb"/Length\s+(\d+)", edict)
-    n = (int(lm.group(1)) // 8) if lm and v == 2 else 5
+    n = (int(lm.group(1)) // 8) if lm and v in (2, 4) else (16 if aes else 5)
     om = re.search(rb"/O\s*(\(|<)", edict)
     um = re.search(rb"/U\s*(\(|<)", edict)
     pm = re.search(rb"/P\s+(-?\d+)", edict)
@@ -1053,7 +1223,8 @@ def _decrypt_pdf(data: bytes, objs: dict[int, bytes]) -> None:
     u_val = _pdf_string_value(edict[um.end() - 1:])
     if o_val is None or u_val is None:
         raise EncryptedPdfError("malformed /O or /U entry")
-    key = _std_file_key(o_val, int(pm.group(1)), fid, r, n)
+    meta_enc = not re.search(rb"/EncryptMetadata\s+false", edict)
+    key = _std_file_key(o_val, int(pm.group(1)), fid, r, n, meta_enc)
     want = _std_user_check(key, fid, r)
     cmp_len = 16 if r >= 3 else 32
     if u_val[:cmp_len] != want[:cmp_len]:
@@ -1069,8 +1240,24 @@ def _decrypt_pdf(data: bytes, objs: dict[int, bytes]) -> None:
             continue  # xref streams are never encrypted
         s, ln = span
         ln = min(ln, len(body) - s)
-        objs[num] = body[:s] + _rc4(_obj_key(key, num), body[s:s + ln]) \
-            + body[s + ln:]
+        if aes:
+            plain = _aes_cbc_decrypt(_obj_key(key, num, aes=True),
+                                     body[s:s + ln])
+            # AES-CBC shrinks the payload (IV + padding stripped): the
+            # dict's /Length must match the plaintext for downstream
+            # slicing — patch it (direct form), or rewrite the referenced
+            # integer object (indirect form)
+            new_head, n_sub = _LENGTH_RE.subn(
+                b"/Length " + str(len(plain)).encode(), head, count=1)
+            if n_sub == 0:
+                rm_ = _LENGTH_REF_RE.search(head)
+                if rm_:
+                    objs[int(rm_.group(1))] = str(len(plain)).encode()
+                new_head = head
+            objs[num] = new_head + plain + body[s + ln:]
+        else:
+            objs[num] = body[:s] \
+                + _rc4(_obj_key(key, num), body[s:s + ln]) + body[s + ln:]
 
 
 # Adobe Glyph List subset: ASCII + Latin-1 supplement — the names real

@@ -183,6 +183,8 @@ def _pdf_doc(r: random.Random, doc_id: int, max_pages: int = 14) -> tuple[bytes,
             enc = "rc4-40"
         elif doc_id % 43 == 0:
             enc = "rc4-128"
+        elif doc_id % 47 == 0:
+            enc = "aes-128"
     return (
         make_pdf(pages, encrypt=enc,
                  compress=doc_id % 2 == 0, tj_arrays=doc_id % 3 == 0,

@@ -223,6 +223,8 @@ to the discussion with even more words of content.</p>
              compress=True)
     pdf_case("pdf_encrypted_rc4_128", flate_spec, encrypt="rc4-128",
              compress=True)
+    pdf_case("pdf_encrypted_aes_128", flate_spec, encrypt="aes-128",
+             compress=True)
     pdf_case("pdf_lzw", flate_spec, lzw=True)
     pdf_case("pdf_predictor", flate_spec, compress=True, png_predictor=True)
     pdf_case("pdf_inline_images", flate_spec, inline_images=True,

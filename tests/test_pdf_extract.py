@@ -636,13 +636,14 @@ def test_literal_string_octal_and_continuation_escapes():
 
 
 def test_encrypted_rc4_empty_password_decrypts():
-    """Standard-security-handler RC4 with an empty user password — the
-    common permissions-only crawl encryption — decrypts and parses
-    normally, across both key lengths and stacked encoding variants."""
+    """Standard-security-handler RC4 (40/128-bit) AND AES-128 (V4/AESV2)
+    with an empty user password — the common permissions-only crawl
+    encryption — decrypt and parse normally, across stacked encoding
+    variants."""
     pages = [PageSpec(texts=[TextSpec(72, 700, 12, "Secret heading text"),
                              TextSpec(72, 650, 12, "encrypted body line")])]
     want = ["Secret heading text", "encrypted body line"]
-    for mode in ("rc4-40", "rc4-128"):
+    for mode in ("rc4-40", "rc4-128", "aes-128"):
         for kw in ({}, {"compress": True},
                    {"xref_stream": True, "compress": True},
                    {"cid_font": True}, {"lzw": True}):
@@ -664,3 +665,21 @@ def test_encrypted_pdf_out_of_subset_routes_typed_error():
         parse_pdf(bad_u)
     with pytest.raises(EncryptedPdfError, match="AES"):
         parse_pdf(pdf.replace(b"/V 1 /R 2", b"/V 4 /R 4"))
+
+
+def test_aes_core_matches_fips197():
+    """The pure-python AES-128 cipher (generated S-box) must match the
+    FIPS-197 Appendix C.1 test vector exactly — conformance, not just
+    self-round-trip."""
+    from qwen_ocr_spark.functions.pdfx import (_aes_block, _aes_expand_key,
+                                               _aes_cbc_decrypt,
+                                               _aes_cbc_encrypt)
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = _aes_expand_key(key)
+    ct = _aes_block(pt, rk, decrypt=False)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _aes_block(ct, rk, decrypt=True) == pt
+    data = b"stream content of non-block-multiple length.."
+    assert _aes_cbc_decrypt(key, _aes_cbc_encrypt(key, bytes(16), data)) == data
+    assert _aes_cbc_decrypt(key, b"short") == b""  # malformed, not fatal
