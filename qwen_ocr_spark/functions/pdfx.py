@@ -1041,34 +1041,118 @@ def _aes_block(block: bytes, rk: list[list[int]], decrypt: bool) -> bytes:
     return bytes(s[r][c] for c in range(4) for r in range(4))
 
 
+def _aes_fast_tables():
+    """Lookup tables for the fast paths: GF mul tables for the vectorized
+    inverse cipher, and 32-bit encryption T-tables (the classic software
+    AES) for the CBC-chained (inherently sequential) encryptor."""
+    import numpy as np
+    muls = {c: np.array([_gmul(x, c) for x in range(256)], np.uint8)
+            for c in (9, 11, 13, 14)}
+    inv_sbox = np.array(_AES_INV_SBOX, np.uint8)
+    te = [[0] * 256 for _ in range(4)]
+    for x in range(256):
+        s = _AES_SBOX[x]
+        w = (_gmul(s, 2) << 24) | (s << 16) | (s << 8) | _gmul(s, 3)
+        for i in range(4):
+            te[i][x] = ((w >> (8 * i)) | (w << (32 - 8 * i))) & 0xFFFFFFFF
+    return muls, inv_sbox, te
+
+
+_AES_MULS = _AES_INV_SBOX_NP = _AES_TE = None
+
+
+def _aes_fast_init():
+    global _AES_MULS, _AES_INV_SBOX_NP, _AES_TE
+    if _AES_TE is None:
+        _AES_MULS, _AES_INV_SBOX_NP, _AES_TE = _aes_fast_tables()
+
+
+def _aes_decrypt_blocks(blocks, key: bytes):
+    """Vectorized AES-128 inverse cipher over (N, 16) uint8 blocks — CBC
+    DECRYPTION is block-parallel, so a whole stream decrypts in a handful
+    of numpy passes instead of a per-byte python loop."""
+    import numpy as np
+    _aes_fast_init()
+    rks = [np.frombuffer(bytes(k), np.uint8) for k in _aes_expand_key(key)]
+    t9, t11, t13, t14 = (_AES_MULS[c] for c in (9, 11, 13, 14))
+    # inverse ShiftRows as one gather: out[4c+r] = in[4*((c-r)%4)+r]
+    ishift = np.array([4 * ((c - r) % 4) + r
+                       for c in range(4) for r in range(4)], np.int64)
+    s = blocks ^ rks[10]
+    for rnd in range(9, 0, -1):
+        s = _AES_INV_SBOX_NP[s[:, ishift]] ^ rks[rnd]
+        col = s.reshape(-1, 4, 4)
+        a0, a1, a2, a3 = (col[:, :, i] for i in range(4))
+        s = np.stack([
+            t14[a0] ^ t11[a1] ^ t13[a2] ^ t9[a3],
+            t9[a0] ^ t14[a1] ^ t11[a2] ^ t13[a3],
+            t13[a0] ^ t9[a1] ^ t14[a2] ^ t11[a3],
+            t11[a0] ^ t13[a1] ^ t9[a2] ^ t14[a3],
+        ], axis=2).reshape(-1, 16)
+    return _AES_INV_SBOX_NP[s[:, ishift]] ^ rks[0]
+
+
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """PDF AESV2 stream content: 16-byte IV prefix + CBC ciphertext with
     1-16 bytes of RFC-2898 padding.  Malformed input → b'' (the caller's
     error-channel semantics)."""
+    import numpy as np
     if len(data) < 32 or len(data) % 16:
         return b""
-    rk = _aes_expand_key(key)
-    prev = data[:16]
-    out = bytearray()
-    for i in range(16, len(data), 16):
-        blk = data[i:i + 16]
-        out += bytes(a ^ b for a, b in
-                     zip(_aes_block(blk, rk, decrypt=True), prev))
-        prev = blk
+    ct = np.frombuffer(data, np.uint8).reshape(-1, 16)
+    out = (_aes_decrypt_blocks(ct[1:], key) ^ ct[:-1]).tobytes()
     pad = out[-1]
-    return bytes(out[:-pad]) if 1 <= pad <= 16 else b""
+    return out[:-pad] if 1 <= pad <= 16 else b""
+
+
+def _aes_encrypt_block_fast(c0, c1, c2, c3, rkw):
+    """One block through the T-table forward cipher; columns as 32-bit
+    big-endian ints; returns the four output columns."""
+    te0, te1, te2, te3 = _AES_TE
+    for rnd in range(1, 10):
+        k = rkw[rnd]
+        n0 = (te0[c0 >> 24] ^ te1[(c1 >> 16) & 0xFF]
+              ^ te2[(c2 >> 8) & 0xFF] ^ te3[c3 & 0xFF] ^ k[0])
+        n1 = (te0[c1 >> 24] ^ te1[(c2 >> 16) & 0xFF]
+              ^ te2[(c3 >> 8) & 0xFF] ^ te3[c0 & 0xFF] ^ k[1])
+        n2 = (te0[c2 >> 24] ^ te1[(c3 >> 16) & 0xFF]
+              ^ te2[(c0 >> 8) & 0xFF] ^ te3[c1 & 0xFF] ^ k[2])
+        n3 = (te0[c3 >> 24] ^ te1[(c0 >> 16) & 0xFF]
+              ^ te2[(c1 >> 8) & 0xFF] ^ te3[c2 & 0xFF] ^ k[3])
+        c0, c1, c2, c3 = n0, n1, n2, n3
+    sb = _AES_SBOX
+    k = rkw[10]
+    return (((sb[c0 >> 24] << 24) | (sb[(c1 >> 16) & 0xFF] << 16)
+             | (sb[(c2 >> 8) & 0xFF] << 8) | sb[c3 & 0xFF]) ^ k[0],
+            ((sb[c1 >> 24] << 24) | (sb[(c2 >> 16) & 0xFF] << 16)
+             | (sb[(c3 >> 8) & 0xFF] << 8) | sb[c0 & 0xFF]) ^ k[1],
+            ((sb[c2 >> 24] << 24) | (sb[(c3 >> 16) & 0xFF] << 16)
+             | (sb[(c0 >> 8) & 0xFF] << 8) | sb[c1 & 0xFF]) ^ k[2],
+            ((sb[c3 >> 24] << 24) | (sb[(c0 >> 16) & 0xFF] << 16)
+             | (sb[(c1 >> 8) & 0xFF] << 8) | sb[c2 & 0xFF]) ^ k[3])
 
 
 def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    rk = _aes_expand_key(key)
+    _aes_fast_init()
+    rkb = _aes_expand_key(key)
+    rkw = [[int.from_bytes(bytes(k[4 * i:4 * i + 4]), "big")
+            for i in range(4)] for k in rkb]
     pad = 16 - len(data) % 16
     data += bytes([pad]) * pad
     out = bytearray(iv)
-    prev = iv
+    p0 = int.from_bytes(iv[0:4], "big")
+    p1 = int.from_bytes(iv[4:8], "big")
+    p2 = int.from_bytes(iv[8:12], "big")
+    p3 = int.from_bytes(iv[12:16], "big")
+    k0 = rkw[0]
     for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
-        prev = _aes_block(blk, rk, decrypt=False)
-        out += prev
+        c0 = (int.from_bytes(data[i:i + 4], "big") ^ p0) ^ k0[0]
+        c1 = (int.from_bytes(data[i + 4:i + 8], "big") ^ p1) ^ k0[1]
+        c2 = (int.from_bytes(data[i + 8:i + 12], "big") ^ p2) ^ k0[2]
+        c3 = (int.from_bytes(data[i + 12:i + 16], "big") ^ p3) ^ k0[3]
+        p0, p1, p2, p3 = _aes_encrypt_block_fast(c0, c1, c2, c3, rkw)
+        out += p0.to_bytes(4, "big") + p1.to_bytes(4, "big") \
+            + p2.to_bytes(4, "big") + p3.to_bytes(4, "big")
     return bytes(out)
 
 
