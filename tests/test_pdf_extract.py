@@ -680,6 +680,11 @@ def test_aes_core_matches_fips197():
     ct = _aes_block(pt, rk, decrypt=False)
     assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
     assert _aes_block(ct, rk, decrypt=True) == pt
+    # the fast T-table encryptor and vectorized decryptor hit the same
+    # vector: zero IV makes the first CBC block pure ECB
+    enc = _aes_cbc_encrypt(key, bytes(16), pt)
+    assert enc[16:32] == ct
+    assert _aes_cbc_decrypt(key, enc) == pt
     data = b"stream content of non-block-multiple length.."
     assert _aes_cbc_decrypt(key, _aes_cbc_encrypt(key, bytes(16), data)) == data
     assert _aes_cbc_decrypt(key, b"short") == b""  # malformed, not fatal
