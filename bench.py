@@ -275,9 +275,15 @@ def run_headline() -> tuple[dict[str, float], list[dict[str, float]]]:
             [sys.executable, __file__, "--headline-child"],
             capture_output=True, text=True, timeout=1800,
         )
-        line = [l for l in p.stdout.strip().splitlines()
-                if l.startswith("{")][-1]
-        return json.loads(line)["queries"]
+        lines = [l for l in p.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        # a crashed/OOM'd child must surface its own stderr, not a bare
+        # IndexError from the missing JSON line (ADVICE r4)
+        if p.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"headline child failed (rc={p.returncode}); stderr tail:\n"
+                + "\n".join(p.stderr.strip().splitlines()[-15:]))
+        return json.loads(lines[-1])["queries"]
 
     sessions: list[dict[str, float]] = []
     for _ in range(max(1, int(os.environ.get("SPARK_GRAFT_HEADLINE_JVMS",

@@ -1215,10 +1215,27 @@ def _pdf_string_value(src: bytes) -> bytes | None:
         if len(h) % 2:
             h += b"0"
         return bytes.fromhex(h.decode())
-    lm = re.match(rb"\s*\((.*?)(?<!\\)\)", src, re.S)
+    lm = re.match(rb"\s*\(", src)
     if lm:
-        return _unescape_pdf_string(
-            lm.group(1).decode("latin-1")).encode("latin-1")
+        # Paren-depth scan per ISO 32000 §7.3.4.2: balanced unescaped
+        # parens are legal inside a literal string, and '\' escapes the
+        # next byte — a non-greedy match to the first unescaped ')'
+        # truncates binary /O //U key material in real encrypted PDFs.
+        depth, i, start = 1, lm.end(), lm.end()
+        while i < len(src):
+            b = src[i]
+            if b == 0x5C:  # backslash: skip escaped byte
+                i += 2
+                continue
+            if b == 0x28:  # (
+                depth += 1
+            elif b == 0x29:  # )
+                depth -= 1
+                if depth == 0:
+                    return _unescape_pdf_string(
+                        src[start:i].decode("latin-1")).encode("latin-1")
+            i += 1
+        return None
     return None
 
 
@@ -1815,16 +1832,31 @@ def _extract_inline_images(content: str) -> tuple[
 def _is_encrypted(data: bytes, objs: dict[int, bytes]) -> bool:
     """/Encrypt detection without pattern-matching entropy bytes: classic
     trailer dicts (after the ``trailer`` keyword) and PDF 1.5 XRef stream
-    dict heads only."""
-    enc = re.compile(rb"/Encrypt\s+\d+\s+0\s+R")
+    dict heads only.  The referenced object must actually resolve to a
+    dict carrying /Filter — an uncompressed content stream that happens
+    to contain the literal text ``trailer ... /Encrypt n 0 R`` must not
+    reroute a plaintext document to the encrypted channel."""
+    enc = re.compile(rb"/Encrypt\s+(\d+)\s+0\s+R")
+
+    def _resolves(m: re.Match) -> bool:
+        body = objs.get(int(m.group(1)), b"")
+        # an /Encrypt target is a plain dict with a /Filter handler name —
+        # never a stream object (which is what a stray "n 0 R" in content
+        # text would most likely hit)
+        return (bool(body) and b"/Filter" in body
+                and not _STREAM_START_RE.search(body))
+
     for tm in re.finditer(rb"trailer", data):
-        if enc.search(data, tm.end(), tm.end() + 2048):
+        m = enc.search(data, tm.end(), tm.end() + 2048)
+        if m and _resolves(m):
             return True
     for body in objs.values():
         sm = _STREAM_START_RE.search(body)
         head = body[:sm.start()] if sm else body
-        if b"/XRef" in head and enc.search(head):
-            return True
+        if b"/XRef" in head:
+            m = enc.search(head)
+            if m and _resolves(m):
+                return True
     return False
 
 

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from qwen_ocr_spark.plans.session import track_cached
+
 MINHASH_SLOTS = 8
 MINHASH_BANDS = 4  # 2 slots per band
 SHINGLE_N = 3
@@ -160,9 +162,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
     )
     if persist:
-        stacked = stacked.persist()
-        if storage is not None:
-            storage.append(stacked)
+        stacked = track_cached(stacked.persist(), storage)
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (
@@ -348,9 +348,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col), "sig_int", F.explode(chunk_keys).alias("chunk_key")
     )
     if persist:
-        stacked = stacked.persist()
-        if storage is not None:
-            storage.append(stacked)
+        stacked = track_cached(stacked.persist(), storage)
     l, r = stacked.alias("l"), stacked.alias("r")
     pairs = (
         l.join(r, on="chunk_key")
@@ -401,9 +399,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         sh = sh.join(keep, on="shingle")
     if persist:
-        sh = sh.persist()
-        if storage is not None:
-            storage.append(sh)
+        sh = track_cached(sh.persist(), storage)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (

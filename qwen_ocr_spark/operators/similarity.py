@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from qwen_ocr_spark.plans.session import track_cached
+
 LSH_BANDS = 4      # near-dup defaults: 4 bands x 16 planes = 64 planes total
 LSH_ROWS = 16
 ANN_BANDS = 4      # top-k ANN defaults: looser buckets (2^8 per band) —
@@ -168,9 +170,7 @@ def banded_buckets(emb: DataFrame, id_col: str = "vec_id",
         F.col(id_col), F.explode(F.array(*keys)).alias("band_key")
     )
     if persist:
-        out = out.persist()
-        if storage is not None:
-            storage.append(out)
+        out = track_cached(out.persist(), storage)
     return out
 
 
@@ -334,9 +334,7 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         # and the query probes (crank <= nprobe); without materialization
         # the N x n_cells centroid scoring runs twice — this IS the "build
         # the IVF index once" step a production ANN system persists
-        ranked = ranked.persist()
-        if storage is not None:
-            storage.append(ranked)
+        ranked = track_cached(ranked.persist(), storage)
     assign = ranked.where(F.col("crank") == 1).select(
         F.col(id_col).alias("neighbor_id"), "cell_id",
         *[F.col(f"_v{d}").alias(f"_n{d}") for d in range(dims)])

@@ -61,6 +61,37 @@ def get_spark(
     return b.getOrCreate()
 
 
+# Persisted intermediates created by library operators when the caller did
+# not supply an explicit ``storage`` list (dedup.lsh_candidate_pairs,
+# simhash_near_pairs, ngram_jaccard_pairs, similarity.banded_buckets, …).
+# A one-shot job never needs to touch this — the process exit releases the
+# cache — but a long-lived driver (streaming micro-batches, a query
+# service) must call release_cached() between batches or cached relations
+# accumulate executor storage (the round-2 failure mode in CLAUDE.md).
+_CACHED_HANDLES: list = []
+
+
+def track_cached(df, storage: list | None = None):
+    """Record a persisted DataFrame for later release.
+
+    Appends to the caller's ``storage`` list when given, else to the
+    module-level registry drained by release_cached()."""
+    (_CACHED_HANDLES if storage is None else storage).append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every registry-tracked intermediate; returns the count."""
+    n = 0
+    while _CACHED_HANDLES:
+        try:
+            _CACHED_HANDLES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+        n += 1
+    return n
+
+
 def gc_hint(spark: SparkSession) -> None:
     """Release Arrow direct buffers pinned by collected-but-unfinalized
     references.  Call between distinct heavy python-UDF jobs (the bench

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qwen_ocr_spark.operators.extract import extract_pages
+from qwen_ocr_spark.plans.session import release_cached
 from qwen_ocr_spark.sinks.manifest import (
     resume_filter,
     write_figures,
@@ -99,6 +100,10 @@ def stream_extract(spark: SparkSession, input_dir: str, out_path: str,
                      run_id=run_id, replayable=True)
         if figures_path is not None:
             out.unpersist()
+        # any library-persisted intermediates created inside this batch
+        # (dedup/similarity band relations) must not accumulate executor
+        # storage across micro-batches — drain the session registry
+        release_cached()
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

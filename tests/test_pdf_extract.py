@@ -371,13 +371,18 @@ def test_encrypted_pdf_routes_typed_error():
     an accidental empty parse."""
     from qwen_ocr_spark.functions.pdfx import EncryptedPdfError
     spec = [PageSpec(texts=[TextSpec(72, 100, 12, "secret words")])]
+    # the referenced object must RESOLVE to a /Filter dict (r5: an
+    # unresolvable /Encrypt ref no longer reroutes — see false-positive
+    # test below), so the fixture appends a real non-Standard handler dict
+    edict = b"\n90 0 obj\n<< /Filter /FooHandler /V 1 >>\nendobj\n"
     pdf = make_pdf(spec)
-    enc = pdf.replace(b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size")
+    enc = pdf.replace(b"trailer\n<< /Size",
+                      b"trailer\n<< /Encrypt 90 0 R /Size") + edict
     with pytest.raises(EncryptedPdfError):
         parse_pdf(enc)
     pdf15 = make_pdf(spec, xref_stream=True)
     enc15 = pdf15.replace(b"<< /Type /XRef /Size",
-                          b"<< /Type /XRef /Encrypt 9 0 R /Size")
+                          b"<< /Type /XRef /Encrypt 90 0 R /Size") + edict
     with pytest.raises(EncryptedPdfError):
         parse_pdf(enc15)
     # and the extraction UDF maps it into the error column
@@ -387,6 +392,44 @@ def test_encrypted_pdf_routes_typed_error():
         {"url": ["https://x/enc.pdf"], "warc_ts": [None], "html": [enc]})])))[0]
     assert out["error"][0].startswith("EncryptedPdfError:")
     assert out["markdown"][0] is None
+
+
+def test_encrypt_lookalike_text_is_not_rerouted():
+    """An UNCOMPRESSED stream whose payload contains the literal text
+    ``trailer << /Encrypt n 0 R >>`` must not reroute a plaintext document
+    to the encrypted channel (ADVICE r4): the referenced object either
+    doesn't resolve or resolves to a stream, so _is_encrypted says no and
+    the document parses normally."""
+    pdf = make_pdf([PageSpec(texts=[TextSpec(72, 100, 12, "plain words")])])
+    # unresolvable reference
+    decoy = (b"\n95 0 obj\n<< /Length 40 >>\nstream\n"
+             b"trailer << /Encrypt 999 0 R >> startxref\nendstream\nendobj\n")
+    pages = parse_pdf(pdf + decoy)
+    assert len(pages) == 1 and any(
+        "plain words" in r.text for r in pages[0].runs)
+    # reference that hits a real STREAM object (content stream carries
+    # /Filter /FlateDecode) — still not an encrypt dict
+    decoy2 = (b"\n96 0 obj\n<< /Length 40 >>\nstream\n"
+              b"trailer << /Encrypt 4 0 R >> startxref\nendstream\nendobj\n")
+    pages2 = parse_pdf(pdf + decoy2)
+    assert len(pages2) == 1 and any(
+        "plain words" in r.text for r in pages2[0].runs)
+
+
+def test_literal_string_balanced_parens_and_backslash():
+    """_pdf_string_value scans literal strings with paren-depth + escape
+    tracking (ISO 32000 §7.3.4.2), not a first-unescaped-')' regex: legal
+    balanced unescaped parens and a backslash-escaped ')' inside binary
+    /O //U key material must not truncate (ADVICE r4)."""
+    from qwen_ocr_spark.functions.pdfx import _pdf_string_value
+    assert _pdf_string_value(b" (ab(cd)ef) tail") == b"ab(cd)ef"
+    assert _pdf_string_value(b"(a\\)b(c)d)") == b"a)b(c)d"
+    # trailing backslash-escaped ')' mid-string (binary key material form)
+    assert _pdf_string_value(b"(k\\\\e\\)y)") == b"k\\e)y"
+    # unterminated → None, never a truncated prefix
+    assert _pdf_string_value(b"(never closed (deep)") is None
+    # hex path unchanged
+    assert _pdf_string_value(b" <4142 43> x") == b"ABC"
 
 
 def test_lzw_roundtrip_and_known_widths():
