@@ -501,9 +501,11 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pred_lang is in the output so the oracle verifies the language
+    # keying of the stopword table, not just the arithmetic (round 5)
     return textstats.with_quality_score(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "length_score_e4", "alpha_ratio_e4", "stopword_score_e4",
-        "quality_score_e4",
+        "doc_id", "pred_lang", "length_score_e4", "alpha_ratio_e4",
+        "stopword_score_e4", "quality_score_e4",
     )
 
 
@@ -1269,6 +1271,10 @@ WHERE floor(({_COS_SQL}) * 1e6) IS NOT NULL
             _re_mod.sub(r"\\u([0-9a-fA-F]{4})", r"\\x{\1}", pat), lang)
         for lang, pat in SCRIPT_LANGS
     )
+    _pred_case = f"""CASE {_script_whens}
+       WHEN greatest({", ".join(f"s_{l}" for l in _langs)}) <= 0 THEN 'und'
+       {_argmax}
+       ELSE '{_langs[-1]}' END"""
     q["lang_id"] = f"""
 WITH p AS (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS pt FROM documents),
 s AS (
@@ -1277,10 +1283,7 @@ s AS (
   FROM p
 )
 SELECT doc_id, lang,
-  CASE {_script_whens}
-       WHEN greatest({", ".join(f"s_{l}" for l in _langs)}) <= 0 THEN 'und'
-       {_argmax}
-       ELSE '{_langs[-1]}' END AS pred_lang
+  {_pred_case} AS pred_lang
 FROM s
 """
 
@@ -1325,29 +1328,52 @@ SELECT doc_id,
 FROM documents
 """
 
-    stop_terms = " + ".join(
-        f"CAST((length(pt) - length(replace(pt, ' {w} ', ''))) / {len(w) + 2} AS INT)"
-        for w in textstats.EN_STOPWORDS
-    )
+    # language-aware stopword hits (round 5): the needle table, the CASE
+    # keyed on pred_lang, and the unspaced-script denominator are ALL
+    # generated from textstats.STOPWORD_NEEDLES / UNSPACED_LANGS so the
+    # Spark operator and the oracle cannot drift.  pred_lang reuses the
+    # SAME generated snippet (_pred_case) the lang_id oracle uses.
+    _stop_case = "CASE pred_lang " + "\n       ".join(
+        "WHEN '{}' THEN {}".format(
+            lang,
+            " + ".join(
+                f"CAST((length(pt) - length(replace(pt, '{n}', ''))) / {len(n)} AS INT)"
+                for n in needles
+            ),
+        )
+        for lang, needles in textstats.STOPWORD_NEEDLES.items()
+    ) + " ELSE 0 END"
+    _unspaced = ", ".join(f"'{l}'" for l in sorted(textstats.UNSPACED_LANGS))
     q["quality_score"] = f"""
 WITH b AS (
   SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt,
          length(text) AS chars,
-         length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^\\p{{L}} ]', '', 'g')) AS alpha,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END AS words
   FROM documents
+), s AS (
+  SELECT doc_id, text, pt, chars, alpha, words,
+    {_score_cols}
+  FROM b
+), l AS (
+  SELECT doc_id, pt, chars, alpha, words,
+         {_pred_case} AS pred_lang
+  FROM s
 ), f AS (
-  SELECT doc_id, chars, alpha, words, {stop_terms} AS stop_hits FROM b
+  SELECT doc_id, pred_lang, chars, alpha, words,
+         {_stop_case} AS stop_hits,
+         CASE WHEN pred_lang IN ({_unspaced}) THEN chars ELSE words END AS denom
+  FROM l
 ), g AS (
-  SELECT doc_id,
+  SELECT doc_id, pred_lang,
          least(1.0, chars / 500.0) AS length_score,
          CASE WHEN chars = 0 THEN 0.0 ELSE alpha / CAST(chars AS DOUBLE) END AS alpha_ratio,
-         CASE WHEN words = 0 THEN 0.0
-              ELSE least(0.5, stop_hits / CAST(words AS DOUBLE)) * 2.0 END AS stop_ratio
+         CASE WHEN denom = 0 THEN 0.0
+              ELSE least(0.5, stop_hits / CAST(denom AS DOUBLE)) * 2.0 END AS stop_ratio
   FROM f
 )
-SELECT doc_id,
+SELECT doc_id, pred_lang,
        CAST(floor(length_score * 10000) AS BIGINT) AS length_score_e4,
        CAST(floor(alpha_ratio * 10000) AS BIGINT) AS alpha_ratio_e4,
        CAST(floor(stop_ratio * 10000) AS BIGINT) AS stopword_score_e4,

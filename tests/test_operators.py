@@ -133,6 +133,66 @@ def test_lang_id_wider_profiles(spark):
     assert preds == {1: "it", 2: "pt", 3: "fr", 4: "es"}
 
 
+def test_lang_id_round5_widened_languages(spark):
+    """Round-5 widening: nl, pl, sv, tr, vi, id — the next six top-crawl
+    Latin-script languages — classify from the same trigram table, and
+    none of the original six regress (their cases stay in the tests
+    above)."""
+    rows = [
+        (1, "het weer is vandaag erg mooi in de stad"),
+        (2, "een nieuwe aanpak voor het trainen van modellen"),
+        (3, "uczenie maszynowe wymaga dużych zbiorów danych"),
+        (4, "przetwarzanie języka naturalnego jest trudne"),
+        (5, "maskininlärning är ett viktigt område för forskning"),
+        (6, "det här är en bra dag att träna modeller och att läsa"),
+        (7, "makine öğrenmesi modelleri büyük veri kümeleri ile eğitilir"),
+        (8, "bu çalışmada yeni bir yöntem önerilmektedir ve sonuçlar"),
+        (9, "học máy là một lĩnh vực quan trọng của trí tuệ nhân tạo"),
+        (10, "các mô hình ngôn ngữ được huấn luyện trên dữ liệu lớn"),
+        (11, "pembelajaran mesin adalah bidang yang penting untuk penelitian"),
+        (12, "model bahasa dilatih dengan data yang sangat besar"),
+    ]
+    preds = {r["doc_id"]: r["pred_lang"]
+             for r in textstats.with_lang_id(spark.createDataFrame(
+                 pd.DataFrame(rows, columns=["doc_id", "text"]))).collect()}
+    assert preds == {1: "nl", 2: "nl", 3: "pl", 4: "pl", 5: "sv", 6: "sv",
+                     7: "tr", 8: "tr", 9: "vi", 10: "vi", 11: "id", 12: "id"}
+
+
+def test_quality_score_language_aware(spark):
+    """Round-5 de-anglicization: correct Chinese/Russian/Arabic text must
+    score like correct English text (alpha_ratio counts \\p{L} letters,
+    stopwords key off pred_lang, unspaced scripts divide by characters) —
+    previously zh/ru/ar scored alpha≈0, stop≈0 and would have been
+    filtered as garbage at corpus scale (VERDICT r4 'What's wrong' #1)."""
+    rows = [
+        (1, "the cat sat on the mat and the dog ran in the park for fun "
+            * 10),
+        (2, "это очень хороший текст на русском языке и в нём нет мусора "
+            * 10),
+        (3, "这是一段很好的中文文本它包含了的和是在有人这了等常用字而且内容连贯" * 10),
+        (4, "هذا نص جيد باللغة العربية وهو لا يحتوي على أي نفايات في هذا النص "
+            * 10),
+        (5, "日本語のテキストですがとても自然でのにはをたがでてとし含む文章です" * 10),
+        (6, "!!!! #### $$$$ 1234 %%%% ^^^^ &&&& 5678 ()[]{} <><> ;;;; ::::"),
+    ]
+    got = {r["doc_id"]: r for r in textstats.with_quality_score(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ).collect()}
+    assert got[2]["pred_lang"] == "ru"
+    assert got[3]["pred_lang"] == "zh"
+    assert got[4]["pred_lang"] == "ar"
+    assert got[5]["pred_lang"] == "ja"
+    for d in (1, 2, 3, 4, 5):
+        assert got[d]["alpha_ratio_e4"] > 7000, (d, got[d])
+        assert got[d]["stopword_score_e4"] > 0, (d, got[d])
+        assert got[d]["quality_score_e4"] > 5000, (d, got[d])
+    # and symbol soup still scores near zero on alpha
+    assert got[6]["alpha_ratio_e4"] < 2000
+    assert got[6]["quality_score_e4"] < min(
+        got[d]["quality_score_e4"] for d in (1, 2, 3, 4, 5))
+
+
 def test_repetition_stats_known_values(spark):
     """Gopher-style repetition: crafted docs with known dup-line and
     top-bigram fractions."""
