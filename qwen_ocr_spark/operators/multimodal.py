@@ -47,12 +47,13 @@ MEDIA_SCHEMA = (
 
 class UnsupportedCodec(NotImplementedError):
     """STUB SEAM: raised for codecs/variants this container cannot decode.
-    Round 3's baseline-JPEG decoder and round 4's progressive scans,
-    QM arithmetic coder (sequential + progressive — the complete DCT
-    family), and complete PNG pixel-format coverage (functions/codecs.py)
-    narrowed this seam to lossless/hierarchical/12-bit JPEG and formats
-    with no decoder at all (no PIL/libav here).  Replace by a full codec
-    lib in deployment."""
+    Round 3's baseline-JPEG decoder, round 4's progressive scans, QM
+    arithmetic coder (the complete DCT family) and complete PNG
+    pixel-format coverage, and round 5's full GIF support (87a/89a,
+    interlaced, animated — functions/codecs.py, pinned by externally-
+    produced files in tests/fixtures/external/) narrowed this seam to
+    lossless/hierarchical/12-bit JPEG and WebP bitstreams (no PIL/libav
+    here).  Replace by a full codec lib in deployment."""
 
 
 def _decode_gray(codec: str, payload: bytes, w: int, h: int) -> np.ndarray:
@@ -115,12 +116,21 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
                                  (0, 0, 0, rate)))
                 elif i % 3 == 2:
                     n_frames = 4 + (i % 5)
-                    frames = bytes(
-                        ((i * 7 + f * 13 + p) % 251)
-                        for f in range(n_frames) for p in range(w * h)
-                    )
-                    rows.append((i, "video", "RAWGRAY", frames,
-                                 (w, h, n_frames, 0)))
+                    fr = [np.array([(i * 7 + f * 13 + p) % 251
+                                    for p in range(w * h)],
+                                   dtype=np.uint8).reshape(h, w)
+                          for f in range(n_frames)]
+                    if i % 2 == 1:
+                        # REAL animated GIF (round 5): same frame pixels
+                        # as the RAWGRAY stacking, so frame sampling is
+                        # container-invariant
+                        rows.append((i, "video", "GIF",
+                                     codecs.encode_gif(fr),
+                                     (w, h, n_frames, 0)))
+                    else:
+                        rows.append((i, "video", "RAWGRAY",
+                                     b"".join(f.tobytes() for f in fr),
+                                     (w, h, n_frames, 0)))
                 elif i % 11 == 4:
                     # PNG forms rotate (round 4): plain, Adam7-interlaced,
                     # and palette-indexed with a gray identity palette —
@@ -135,6 +145,13 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
                     rows.append((i, "image", "PNG", enc, (w, h, 1, 0)))
                 elif i % 11 == 6:
                     rows.append((i, "image", "BMP", codecs.encode_bmp(px),
+                                 (w, h, 1, 0)))
+                elif i % 11 == 0 and i > 0:
+                    # REAL GIF stills (round 5): identity gray palette,
+                    # alternating interlaced — decode to identical pixels,
+                    # so the invariance suite covers the format
+                    rows.append((i, "image", "GIF",
+                                 codecs.encode_gif(px, interlace=i % 2 == 0),
                                  (w, h, 1, 0)))
                 elif i % 11 == 8:
                     rows.append((i, "image", "PGM", codecs.encode_pgm(px),
@@ -215,21 +232,30 @@ FRAMES_SCHEMA = "media_id bigint, frame_index int, payload binary"
 
 
 def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
-    """Video → every k-th frame as its own image row (frame extraction)."""
+    """Video → every k-th frame as its own gray image row (frame
+    extraction).  RAWGRAY stacked frames slice directly; animated GIF
+    (round 5) decodes its composited frames and emits the same raw gray
+    payloads, so downstream is container-agnostic."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
             for mid, kind, codec, payload, meta in zip(
                 b["media_id"], b["kind"], b["codec"], b["payload"], b["meta"]
             ):
-                if kind != "video" or codec != "RAWGRAY":
+                if kind != "video":
                     continue
-                w, h = int(meta["width"]), int(meta["height"])
-                n_frames = int(meta["n_frames"])
-                raw = bytes(payload)
-                for f in range(0, n_frames, every):
-                    frame = raw[f * w * h: (f + 1) * w * h]
-                    out.append((int(mid), f, frame))
+                if codec == "RAWGRAY":
+                    w, h = int(meta["width"]), int(meta["height"])
+                    n_frames = int(meta["n_frames"])
+                    raw = bytes(payload)
+                    for f in range(0, n_frames, every):
+                        frame = raw[f * w * h: (f + 1) * w * h]
+                        out.append((int(mid), f, frame))
+                elif codec == "GIF":
+                    frames = codecs.decode_gif_frames(bytes(payload))
+                    for f in range(0, len(frames), every):
+                        out.append((int(mid), f,
+                                    codecs.to_gray(frames[f]).tobytes()))
             yield pd.DataFrame(out, columns=["media_id", "frame_index", "payload"])
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
 

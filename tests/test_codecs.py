@@ -343,3 +343,49 @@ def test_jpeg_progressive_decodes_exactly_as_baseline():
             p = codecs.decode_jpeg(codecs.encode_jpeg_progressive(img, q))
             assert b.shape == p.shape
             assert np.array_equal(b, p), (shape, q)
+
+
+def test_gif_roundtrip_static_and_interlaced():
+    """GIF (round 5): gray-palette round-trips through the LSB-first LZW,
+    sequential and 4-pass interlaced; large images cross the 9->10->11->12
+    bit width growth and the deferred-clear full-table regime (the width
+    rule itself is pinned by externally-produced GIFs in
+    test_external_fixtures.py)."""
+    rng = np.random.RandomState(5)
+    for shape in [(1, 1), (9, 11), (23, 17), (200, 300)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        for inter in (False, True):
+            dec = codecs.to_gray(codecs.decode_gif(
+                codecs.encode_gif(img, interlace=inter)))
+            assert np.array_equal(dec, img), (shape, inter)
+    grad = np.tile(np.arange(600) % 251, (400, 1)).astype(np.uint8)
+    assert np.array_equal(
+        codecs.to_gray(codecs.decode_gif(codecs.encode_gif(grad))), grad)
+
+
+def test_gif_animation_frames_and_transparency():
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (9, 11), dtype=np.uint8) for _ in range(5)]
+    got = codecs.decode_gif_frames(codecs.encode_gif(frames))
+    assert len(got) == 5
+    for f, g in zip(frames, got):
+        assert np.array_equal(codecs.to_gray(g), f)
+    # transparent pixels keep the prior frame's content
+    f1 = np.full((4, 4), 200, np.uint8)
+    f2 = np.zeros((4, 4), np.uint8)
+    f2[0, 0] = 7
+    got = codecs.decode_gif_frames(codecs.encode_gif([f1, f2], transparent=0))
+    assert got[1][0, 0, 0] == 7 and got[1][1, 1, 0] == 200
+
+
+def test_gif_error_paths_and_dispatch():
+    with pytest.raises(codecs.UnsupportedVariant):
+        codecs.decode_gif(b"NOTGIF" + b"\x00" * 20)
+    with pytest.raises(codecs.UnsupportedVariant):
+        codecs.decode_gif(b"GIF89a" + b"\x00" * 4)  # truncated header
+    img = _img(6, 5)
+    assert np.array_equal(
+        codecs.to_gray(codecs.decode_image("GIF", codecs.encode_gif(img))),
+        img)
+    with pytest.raises(codecs.UnsupportedVariant):
+        codecs.decode_image("WEBP", b"RIFF....WEBPVP8 ")

@@ -1,0 +1,99 @@
+"""Externally-generated wire-format fixtures (ADVICE r4 medium).
+
+Every decoder here previously validated only against this repo's own
+encoders — a mirrored encoder/decoder bug would pass every round-trip yet
+corrupt real crawl files.  These fixtures were produced by independent
+tools (CPython test-suite assets: ImageMagick-era GIFs, libpng PNGs,
+PCM WAVs; Rust/Node documentation assets: libjpeg baseline + progressive
+JPEGs) and are checked into tests/fixtures/external/:
+
+* GIF: 89a palette (python.gif), 87a (PyBanner048.gif), and a 783-frame
+  640x421 animation with full 12-bit LZW tables — a single bit-width or
+  dictionary off-by-one desynchronizes the stream within a few codes, so
+  a complete exact-length decode of 543 KB of real LZW is strong
+  spec-conformance evidence (it adjudicated the encoder width rule).
+* PNG: palette (color type 3), RGB (2), RGBA (6), gray+alpha (4).
+* JPEG: libjpeg baseline and PROGRESSIVE (SOF2) color files.
+* WAV: 8-bit and 16-bit PCM from CPython's audiodata.
+
+Pixel md5s below are regression pins recorded from this decoder AFTER the
+structural validation above (dims exact, streams fully consumed, no
+desync across half a megabyte of foreign LZW); arithmetic JPEG, Adam7
+PNG, and qpdf-produced LZW/encrypted PDFs have no external producer in
+this container and remain covered by round-trip + FIPS-197/T.81 pins.
+"""
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from qwen_ocr_spark.functions import codecs
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "external")
+
+
+def _md5(arr: np.ndarray) -> str:
+    return hashlib.md5(np.ascontiguousarray(arr).tobytes()).hexdigest()[:12]
+
+
+def _read(name: str) -> bytes:
+    with open(os.path.join(FIX, name), "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("name,shape,pix", [
+    ("png_palette_python.png", (16, 16, 4), "d5ebfcd830af"),
+    ("png_rgb_trpl21.png", (320, 372, 3), "31decfb872a9"),
+    ("png_rgba_idle32.png", (32, 32, 4), "68d3e6b443ba"),
+])
+def test_external_png_decodes_exactly(name, shape, pix):
+    img = codecs.decode_png(_read(name))
+    assert img.shape == shape
+    assert _md5(img) == pix
+
+
+def test_external_png_gray_alpha():
+    img = codecs.decode_png(_read("png_grayalpha_favicon.png"))
+    assert img.shape[:2] == (32, 32) and img.shape[2] in (2, 4)
+
+
+@pytest.mark.parametrize("name,shape", [
+    ("jpeg_baseline_python.jpg", (16, 16, 3)),
+    ("jpeg_progressive_stripe.jpg", None),
+])
+def test_external_jpeg_decodes(name, shape):
+    img = codecs.decode_jpeg(_read(name))
+    if shape is not None:
+        assert img.shape == shape
+    assert img.ndim == 3 and img.dtype == np.uint8
+    # plausible image content, not garbage: non-constant, full range used
+    assert img.std() > 1.0
+
+
+def test_external_gif_89a_and_87a():
+    img = codecs.decode_gif(_read("gif89a_python.gif"))
+    assert img.shape == (16, 16, 3) and _md5(img) == "4853155c8d54"
+    img = codecs.decode_gif(_read("gif87a_banner.gif"))
+    assert img.shape == (35, 150, 3) and _md5(img) == "1920518f4fb3"
+
+
+def test_external_gif_animation_full_decode():
+    """783 frames, 640x421, full 12-bit LZW tables, frame placement
+    rectangles and disposal — decoded end to end with exact pixel counts
+    per frame (any LZW desync raises within a few codes)."""
+    frames = codecs.decode_gif_frames(_read("gif_anim_python.gif"))
+    assert len(frames) == 783
+    assert frames[0].shape == (421, 640, 3)
+    assert _md5(frames[0]) == "f674cd4549bf"
+    assert all(f.shape == (421, 640, 3) for f in frames[::97])
+
+
+def test_external_wav_pcm8_and_pcm16():
+    s8, rate8 = codecs.decode_wav(_read("wav_pcm8_pluck.wav"))
+    s16, rate16 = codecs.decode_wav(_read("wav_pcm16_pluck.wav"))
+    assert rate8 == rate16 == 11025
+    assert s8.shape == s16.shape == (3307, 2)
+    assert _md5(s8) == "7304c2af697c"
+    assert _md5(s16) == "03adf2f2709d"

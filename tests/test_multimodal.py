@@ -24,7 +24,11 @@ def test_media_schema_and_kinds(media):
     kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
     assert kinds == {"image", "video", "audio"}
     codecs_present = {r["codec"] for r in media.select("codec").distinct().collect()}
-    assert {"RAWGRAY", "PNG", "BMP", "PGM", "WAV", "JPEG"} <= codecs_present
+    assert {"RAWGRAY", "PNG", "BMP", "PGM", "WAV", "JPEG", "GIF"} <= codecs_present
+    # GIF appears both as an image still and a video container (round 5)
+    gif_kinds = {r["kind"] for r in
+                 media.where(F.col("codec") == "GIF").select("kind").distinct().collect()}
+    assert gif_kinds == {"image", "video"}
     row = media.where(F.col("codec") == "RAWGRAY").first()
     assert row["meta"]["width"] >= 8
     assert isinstance(row["payload"], (bytes, bytearray))
@@ -48,7 +52,7 @@ def test_image_features_encoding_invariant(media):
             f"codec {rows[i]['codec']} drifted"
         by_codec.setdefault(rows[i]["codec"], 0)
         by_codec[rows[i]["codec"]] += 1
-    for c in ("PNG", "BMP", "PGM", "RAWGRAY", "JPEG"):
+    for c in ("PNG", "BMP", "PGM", "RAWGRAY", "JPEG", "GIF"):
         assert by_codec.get(c, 0) > 0, f"no decoded {c} rows in fixture"
 
 
@@ -124,3 +128,14 @@ def test_frame_sampling(media):
         w, h = 8 + (vid % 9), 8 + ((vid * 3) % 9)
         frame_rows = [r for r in frames if r["media_id"] == vid]
         assert all(len(r["payload"]) == w * h for r in frame_rows)
+        # container-invariant content: RAWGRAY slices and GIF-decoded
+        # frames must both reproduce the generator formula exactly
+        for r in frame_rows:
+            f = r["frame_index"]
+            expect = bytes(((vid * 7 + f * 13 + p) % 251)
+                           for p in range(w * h))
+            assert bytes(r["payload"]) == expect, (vid, f)
+    # both containers are present among the sampled videos
+    vid_codecs = {r["media_id"]: r["codec"]
+                  for r in media.where(F.col("kind") == "video").collect()}
+    assert {vid_codecs[v] for v in by_vid} == {"RAWGRAY", "GIF"}
