@@ -20,7 +20,7 @@ the multimodal operators decode them FOR REAL instead of stubbing:
          deferred clear, global/local color tables, 4-pass interlacing,
          transparency, multi-frame animation with disposal 2/3 — decode
          validated against externally-produced files (ImageMagick-era
-         CPython assets) in tests/fixtures/external/.
+         CPython assets) in tests/external_fixtures/.
 * BMP  — uncompressed 24-bit BI_RGB, bottom-up or top-down.
 * PGM  — binary P5, maxval <= 255.
 * WAV  — PCM via the stdlib ``wave`` module (8/16/32-bit).

@@ -173,11 +173,57 @@ def _make_ttf(unicode_to_gid: dict[int, int]) -> bytes:
     return font[:head_off + 8] + _u32(adj) + font[head_off + 12:]
 
 
+def _cff_make_index(items: list[bytes]) -> bytes:
+    """CFF INDEX from items (4-byte offsets; empty INDEX is 2 bytes)."""
+    if not items:
+        return b"\x00\x00"
+    out = len(items).to_bytes(2, "big") + b"\x04"
+    off = 1
+    offs = []
+    for it in items:
+        offs.append(off)
+        off += len(it)
+    offs.append(off)
+    return out + b"".join(o.to_bytes(4, "big") for o in offs) \
+        + b"".join(items)
+
+
+def _make_cff(gid_to_name: dict[int, str]) -> bytes:
+    """Minimal name-keyed CFF (Type1C) font program: a format-0 charset
+    mapping each glyph id to a custom-string SID for its glyph name, a
+    CharStrings INDEX of trivial endchar charstrings sized to the glyph
+    count, and a Top DICT carrying the charset/CharStrings offsets —
+    structurally what a LaTeX/dvips-era subset embedding contains, minus
+    outlines (the consumer is charset reversal for text extraction)."""
+    n = max(gid_to_name, default=0)
+    names = [gid_to_name.get(g, f"g{g}") for g in range(1, n + 1)]
+    name_index = _cff_make_index([b"SynthCFF"])
+    string_index = _cff_make_index([nm.encode("latin-1") for nm in names])
+    gsubr_index = b"\x00\x00"
+    charset = b"\x00" + b"".join(
+        (391 + i).to_bytes(2, "big") for i in range(len(names)))
+    charstrings = _cff_make_index([b"\x0e"] * (n + 1))  # .notdef + glyphs
+
+    def int5(v: int) -> bytes:
+        return b"\x1d" + v.to_bytes(4, "big")
+
+    top_len = 12  # two 5-byte ints + two 1-byte ops
+    top_index_len = 2 + 1 + 8 + top_len
+    header = b"\x01\x00\x04\x04"
+    charset_off = (len(header) + len(name_index) + top_index_len
+                   + len(string_index) + len(gsubr_index))
+    charstrings_off = charset_off + len(charset)
+    top_dict = int5(charset_off) + b"\x0f" + int5(charstrings_off) + b"\x11"
+    assert len(top_dict) == top_len
+    return (header + name_index + _cff_make_index([top_dict])
+            + string_index + gsubr_index + charset + charstrings)
+
+
 def make_pdf(pages: list[PageSpec], compress: bool = False,
              tj_arrays: bool = False, hex_strings: bool = False,
              xref_stream: bool = False, object_streams: bool = False,
              tm_positioning: bool = False, cid_font: bool = False,
-             cid_tounicode: bool = True,
+             cid_tounicode: bool = True, cid_cff: bool = False,
              differences_encoding: bool = False, lzw: bool = False,
              png_predictor: bool = False,
              inline_images: bool = False,
@@ -216,6 +262,12 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
       ``/CIDToGIDMap /Identity`` makes text recoverable by reversing it —
       the scanned/OCR-PDF layout where extraction must read the font
       itself.
+    * ``cid_cff=True`` (with ``cid_font`` + ``cid_tounicode=False``) —
+      the SAME no-ToUnicode layout but the embedded program is a
+      name-keyed CFF (``/FontFile3`` ``/Subtype /Type1C``) whose charset
+      carries uniXXXX glyph names — the other common subset embedding
+      (LaTeX/dvips-era); extraction reverses the charset instead of a
+      TTF cmap (round 5).
     * ``differences_encoding`` — a fully-remapped simple font: every char
       gets a custom single-byte code (assigned in charset order from
       0x21) declared by an indirect ``/Encoding`` object's
@@ -304,15 +356,22 @@ def make_pdf(pages: list[PageSpec], compress: bool = False,
         # no ToUnicode: the unicode↔gid mapping lives only in the embedded
         # TrueType program's cmap; extraction must reverse it (the
         # scanned/OCR-PDF layout)
-        ttf = _make_ttf({ord(ch): gid for ch, gid in gid_of.items()})
-        ff_num = add_stream(f"/Length1 {len(ttf)}", ttf)
+        if cid_cff:
+            cff = _make_cff({gid: f"uni{ord(ch):04X}"
+                             for ch, gid in gid_of.items()})
+            ff_num = add_stream("/Subtype /Type1C", cff)
+            ff_entry, subtype = "FontFile3", "CIDFontType0"
+        else:
+            ttf = _make_ttf({ord(ch): gid for ch, gid in gid_of.items()})
+            ff_num = add_stream(f"/Length1 {len(ttf)}", ttf)
+            ff_entry, subtype = "FontFile2", "CIDFontType2"
         fd_num = add(
             f"<< /Type /FontDescriptor /FontName /SynthCID /Flags 4 "
             f"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
             f"/Descent -200 /CapHeight 700 /StemV 80 "
-            f"/FontFile2 {ff_num} 0 R >>".encode())
+            f"/{ff_entry} {ff_num} 0 R >>".encode())
         desc_num = add(
-            f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
+            f"<< /Type /Font /Subtype /{subtype} /BaseFont /SynthCID "
             f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
             f"/Supplement 0 >> /FontDescriptor {fd_num} 0 R "
             f"/CIDToGIDMap /Identity >>".encode())
@@ -1543,6 +1602,152 @@ def _ttf_unicode_to_gid(ttf: bytes) -> dict[int, int]:
         return {}
 
 
+# CFF standard strings, SIDs 0..95: ``.notdef`` then the glyph names of
+# printable ASCII 32..126 in code order (ISO 32000 / Adobe TN#5176 §10).
+# SIDs 96..390 (accented/expert forms) are resolved only when the font
+# carries them as custom strings; subset Latin text fonts — the layout
+# this path targets — live in this range or in uniXXXX custom names.
+_CFF_STD_STRINGS = [".notdef"] + [
+    "space", "exclam", "quotedbl", "numbersign", "dollar", "percent",
+    "ampersand", "quoteright", "parenleft", "parenright", "asterisk",
+    "plus", "comma", "hyphen", "period", "slash", "zero", "one", "two",
+    "three", "four", "five", "six", "seven", "eight", "nine", "colon",
+    "semicolon", "less", "equal", "greater", "question", "at",
+    "A", "B", "C", "D", "E", "F", "G", "H", "I", "J", "K", "L", "M",
+    "N", "O", "P", "Q", "R", "S", "T", "U", "V", "W", "X", "Y", "Z",
+    "bracketleft", "backslash", "bracketright", "asciicircum",
+    "underscore", "quoteleft",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z",
+    "braceleft", "bar", "braceright", "asciitilde",
+]
+
+
+def _cff_index(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """CFF INDEX at pos → (items, position after the INDEX)."""
+    count = int.from_bytes(data[pos:pos + 2], "big")
+    if count == 0:
+        return [], pos + 2
+    off_size = data[pos + 2]
+    offs = [int.from_bytes(
+        data[pos + 3 + i * off_size: pos + 3 + (i + 1) * off_size], "big")
+        for i in range(count + 1)]
+    base = pos + 3 + (count + 1) * off_size - 1
+    items = [data[base + offs[i]: base + offs[i + 1]] for i in range(count)]
+    return items, base + offs[count]
+
+
+def _cff_dict(data: bytes) -> dict[int, list[int]]:
+    """Top/Private DICT bytes → {op: operands}; two-byte ops are keyed
+    as 1200+op2.  Real-number operands are skipped (none of the offsets
+    this parser needs are reals)."""
+    out: dict[int, list[int]] = {}
+    operands: list[int] = []
+    i = 0
+    while i < len(data):
+        b0 = data[i]
+        if b0 <= 21:
+            if b0 == 12:
+                out[1200 + data[i + 1]] = operands
+                i += 2
+            else:
+                out[b0] = operands
+                i += 1
+            operands = []
+        elif b0 == 28:
+            operands.append(int.from_bytes(data[i + 1:i + 3], "big",
+                                           signed=True))
+            i += 3
+        elif b0 == 29:
+            operands.append(int.from_bytes(data[i + 1:i + 5], "big",
+                                           signed=True))
+            i += 5
+        elif b0 == 30:  # real number: skip nibbles to the 0xF terminator
+            i += 1
+            while i < len(data):
+                hi, lo = data[i] >> 4, data[i] & 0xF
+                i += 1
+                if hi == 0xF or lo == 0xF:
+                    break
+            operands.append(0)
+        elif 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + data[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - data[i + 1] - 108)
+            i += 2
+        else:
+            i += 1
+    return out
+
+
+def _cff_gid_to_name(cff: bytes) -> dict[int, str]:
+    """Name-keyed CFF (Type1C) font program → {glyph id: glyph name}
+    from its charset table (the subset-font embedding poppler handled
+    for the reference via FreeType).  CID-keyed fonts (Top DICT carries
+    /ROS) map gid→CID, not names — unicode is genuinely unrecoverable
+    there without /ToUnicode, so this returns {} (honest).  Malformed
+    data returns {}, never raises."""
+    try:
+        if len(cff) < 4 or cff[0] != 1:
+            return {}
+        pos = cff[2]  # hdrSize
+        _names, pos = _cff_index(cff, pos)
+        top_dicts, pos = _cff_index(cff, pos)
+        strings, pos = _cff_index(cff, pos)
+        if not top_dicts:
+            return {}
+        top = _cff_dict(top_dicts[0])
+        if 1230 in top:  # ROS → CID-keyed
+            return {}
+        cs_off = top.get(17)
+        charset_off = top.get(15)
+        if not cs_off or not charset_off:
+            return {}
+        if charset_off[0] in (0, 1, 2):  # predefined charsets
+            return {}
+        charstrings, _ = _cff_index(cff, cs_off[0])
+        n_glyphs = len(charstrings)
+
+        def sid_name(sid: int) -> str:
+            if sid < len(_CFF_STD_STRINGS):
+                return _CFF_STD_STRINGS[sid]
+            if 391 <= sid < 391 + len(strings):
+                return strings[sid - 391].decode("latin-1")
+            return ""
+
+        p = charset_off[0]
+        fmt = cff[p]
+        p += 1
+        out: dict[int, str] = {}
+        gid = 1  # gid 0 is .notdef, never listed
+        if fmt == 0:
+            while gid < n_glyphs and p + 1 < len(cff):
+                out[gid] = sid_name(int.from_bytes(cff[p:p + 2], "big"))
+                p += 2
+                gid += 1
+        elif fmt in (1, 2):
+            step = 3 if fmt == 1 else 4
+            while gid < n_glyphs and p + step <= len(cff):
+                first = int.from_bytes(cff[p:p + 2], "big")
+                n_left = (cff[p + 2] if fmt == 1
+                          else int.from_bytes(cff[p + 2:p + 4], "big"))
+                for k in range(n_left + 1):
+                    if gid >= n_glyphs:
+                        break
+                    out[gid] = sid_name(first + k)
+                    gid += 1
+                p += step
+        else:
+            return {}
+        return {g: n for g, n in out.items() if n}
+    except Exception:
+        return {}
+
+
 def _fallback_cid_map(fobj: bytes, objs: dict[int, bytes]
                       ) -> dict[int, str]:
     """Type0 font WITHOUT /ToUnicode → {glyph id: char} recovered from the
@@ -1571,15 +1776,26 @@ def _fallback_cid_map(fobj: bytes, objs: dict[int, bytes]
     fd = re.search(rb"/FontDescriptor\s+(\d+)\s+0\s+R", dobj)
     if not fd:
         return {}
-    ff = re.search(rb"/FontFile2\s+(\d+)\s+0\s+R",
-                   objs.get(int(fd.group(1)), b""))
-    if not ff:
-        return {}
-    ttf = _stream_bytes(objs.get(int(ff.group(1)), b""), objs)
+    fdobj = objs.get(int(fd.group(1)), b"")
+    ff = re.search(rb"/FontFile2\s+(\d+)\s+0\s+R", fdobj)
     out: dict[int, str] = {}
-    u2g = _ttf_unicode_to_gid(ttf)
-    for code in sorted(u2g):
-        out.setdefault(u2g[code], chr(code))
+    if ff:
+        ttf = _stream_bytes(objs.get(int(ff.group(1)), b""), objs)
+        u2g = _ttf_unicode_to_gid(ttf)
+        for code in sorted(u2g):
+            out.setdefault(u2g[code], chr(code))
+        return out
+    # the other common embedding (round 5): a CFF program in /FontFile3 —
+    # reverse its charset (gid → glyph name) and map names through the
+    # AGL table / uniXXXX forms
+    ff3 = re.search(rb"/FontFile3\s+(\d+)\s+0\s+R", fdobj)
+    if not ff3:
+        return {}
+    cff = _stream_bytes(objs.get(int(ff3.group(1)), b""), objs)
+    for gid, name in _cff_gid_to_name(cff).items():
+        ch = _glyph_char(name)
+        if ch:
+            out.setdefault(gid, ch)
     return out
 
 

@@ -51,7 +51,7 @@ class UnsupportedCodec(NotImplementedError):
     arithmetic coder (the complete DCT family) and complete PNG
     pixel-format coverage, and round 5's full GIF support (87a/89a,
     interlaced, animated — functions/codecs.py, pinned by externally-
-    produced files in tests/fixtures/external/) narrowed this seam to
+    produced files in tests/external_fixtures/) narrowed this seam to
     lossless/hierarchical/12-bit JPEG and WebP bitstreams (no PIL/libav
     here).  Replace by a full codec lib in deployment."""
 

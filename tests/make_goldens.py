@@ -217,6 +217,10 @@ to the discussion with even more words of content.</p>
     # embedded TrueType program's format-4 cmap (the scanned/OCR layout)
     pdf_case("pdf_cid_no_tounicode", flate_spec, cid_font=True,
              cid_tounicode=False, compress=True)
+    # round 5: the same no-ToUnicode layout with a name-keyed CFF program
+    # (/FontFile3 /Subtype /Type1C) — text recovered by charset reversal
+    pdf_case("pdf_cid_cff", flate_spec, cid_font=True,
+             cid_tounicode=False, cid_cff=True, compress=True)
     # RC4-encrypted with empty passwords (permissions-only encryption):
     # decrypts via the Standard security handler, extraction invariant
     pdf_case("pdf_encrypted_rc4_40", flate_spec, encrypt="rc4-40",

@@ -5,7 +5,7 @@ encoders — a mirrored encoder/decoder bug would pass every round-trip yet
 corrupt real crawl files.  These fixtures were produced by independent
 tools (CPython test-suite assets: ImageMagick-era GIFs, libpng PNGs,
 PCM WAVs; Rust/Node documentation assets: libjpeg baseline + progressive
-JPEGs) and are checked into tests/fixtures/external/:
+JPEGs) and are checked into tests/external_fixtures/:
 
 * GIF: 89a palette (python.gif), 87a (PyBanner048.gif), and a 783-frame
   640x421 animation with full 12-bit LZW tables — a single bit-width or
@@ -31,7 +31,7 @@ import pytest
 
 from qwen_ocr_spark.functions import codecs
 
-FIX = os.path.join(os.path.dirname(__file__), "fixtures", "external")
+FIX = os.path.join(os.path.dirname(__file__), "external_fixtures")
 
 
 def _md5(arr: np.ndarray) -> str:

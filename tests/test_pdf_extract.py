@@ -602,6 +602,69 @@ def test_cid_font_no_tounicode_roundtrip():
         assert got == want, (kw, got)
 
 
+def test_cid_font_cff_charset_roundtrip():
+    """Type0 font with NO /ToUnicode whose embedded program is a
+    name-keyed CFF (/FontFile3 /Subtype /Type1C): text recovered by
+    reversing the charset table (gid → uniXXXX glyph name → char) —
+    the LaTeX/dvips-era subset embedding, the other common layout
+    poppler handled for the reference
+    (/root/reference/src/pdf_handler.py:44-55)."""
+    pages = [PageSpec(texts=[TextSpec(72, 700, 12, "Héllo CFF wörld"),
+                             TextSpec(72, 650, 12, "second line 模型")])]
+    want = ["Héllo CFF wörld", "second line 模型"]
+    for kw in ({}, {"compress": True}, {"object_streams": True}):
+        pdf = make_pdf(pages, cid_font=True, cid_tounicode=False,
+                       cid_cff=True, **kw)
+        assert b"/ToUnicode" not in pdf and b"/FontFile3" in pdf \
+            and b"/FontFile2" not in pdf
+        got = [r.text for r in parse_pdf(pdf)[0].runs]
+        assert got == want, (kw, got)
+    # extraction is embedding-invariant: CFF == TTF-cmap == ToUnicode
+    a = extract_pdf(make_pdf(pages, cid_font=True, cid_tounicode=False,
+                             cid_cff=True, compress=True))
+    b = extract_pdf(make_pdf(pages, cid_font=True, cid_tounicode=False))
+    c = extract_pdf(make_pdf(pages, cid_font=True))
+    assert a == b == c
+
+
+def test_cff_charset_formats_and_standard_strings():
+    """_cff_gid_to_name on hand-built CFFs: format-1 range charsets and
+    standard-string SIDs (1..95 = ASCII glyph-name order) resolve; a
+    CID-keyed font (Top DICT /ROS) honestly returns {}."""
+    from qwen_ocr_spark.functions.pdfx import (_cff_gid_to_name,
+                                               _cff_make_index, _make_cff)
+
+    def build(charset: bytes, n_glyphs: int, extra_top: bytes = b"") -> bytes:
+        header = b"\x01\x00\x04\x04"
+        name_index = _cff_make_index([b"T"])
+        string_index = b"\x00\x00"
+        gsubr = b"\x00\x00"
+        top_len = 12 + len(extra_top)
+        top_index_len = 2 + 1 + 8 + top_len
+        cs_off = (len(header) + len(name_index) + top_index_len
+                  + len(string_index) + len(gsubr))
+        chstr_off = cs_off + len(charset)
+        top = (b"\x1d" + cs_off.to_bytes(4, "big") + b"\x0f"
+               + b"\x1d" + chstr_off.to_bytes(4, "big") + b"\x11"
+               + extra_top)
+        return (header + name_index + _cff_make_index([top]) + string_index
+                + gsubr + charset
+                + _cff_make_index([b"\x0e"] * n_glyphs))
+
+    # format 1: one range starting at SID 34 ('A'), 3 glyphs → A, B, C
+    cs = b"\x01" + (34).to_bytes(2, "big") + bytes([2])
+    got = _cff_gid_to_name(build(cs, 4))
+    assert got == {1: "A", 2: "B", 3: "C"}
+    # format 0 with standard SIDs: 'space'(1), 'a'(66)
+    cs0 = b"\x00" + (1).to_bytes(2, "big") + (66).to_bytes(2, "big")
+    assert _cff_gid_to_name(build(cs0, 3)) == {1: "space", 2: "a"}
+    # CID-keyed (ROS operator 12 30 with three operands) → {}
+    ros = b"\x8b\x8b\x8b\x0c\x1e"  # 0 0 0 ROS
+    assert _cff_gid_to_name(build(cs0, 3, extra_top=ros)) == {}
+    # writer output parses (smoke for _make_cff custom strings)
+    assert _cff_gid_to_name(_make_cff({1: "uni4E2D"})) == {1: "uni4E2D"}
+
+
 def test_cid_font_no_mapping_at_all_is_skipped():
     """Type0 with neither /ToUnicode nor a usable FontFile2: the run is
     skipped (error-channel semantics), never mojibake."""
