@@ -176,8 +176,67 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _cc_star(e: DataFrame, max_iter: int) -> tuple[DataFrame, bool]:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — O(log n)
+    rounds even on adversarially deep components, where min-label
+    propagation needs O(diameter).
+
+    Edges live canonically as (a, b) with a > b, deduped.  Per round:
+
+    * large-star — for each node u with m(u) = min(N(u) ∪ {u}): emit
+      (v, m(u)) for every neighbor v > u (computed over the SYMMETRIC
+      neighborhood);
+    * small-star — on the canonical lo-directed edges: for each u with
+      smaller-neighbor min m: emit (u, m) and (v, m) for the other
+      smaller neighbors.
+
+    Convergence = the canonical edge set is stable (a star forest whose
+    centers are component minima); checked with a set-difference count,
+    which cannot overflow under ANSI mode.  Each round localCheckpoints
+    (truncated lineage — the driver-tree growth fix measured in round 3).
+    Returns (labels(node, label), converged)."""
+    def canon(df: DataFrame) -> DataFrame:
+        return (df.select(F.greatest("a", "b").alias("a"),
+                          F.least("a", "b").alias("b"))
+                  .where(F.col("a") != F.col("b")).distinct())
+
+    E = canon(e).localCheckpoint(eager=True)
+    n_edges = E.count()
+    converged = False
+    for _ in range(max_iter):
+        sym = E.union(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        lm = (sym.groupBy("a").agg(F.min("b").alias("mn"))
+                 .select("a", F.least("a", "mn").alias("m")))
+        ls = (sym.join(lm, on="a")
+                 .where(F.col("b") > F.col("a"))
+                 .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        E1 = canon(ls).localCheckpoint(eager=True)
+        sm = E1.groupBy("a").agg(F.min("b").alias("m"))
+        ss = (E1.join(sm, on="a")
+                .select(F.col("b").alias("v"), "m")
+                .where(F.col("v") != F.col("m"))
+                .union(sm.select(F.col("a").alias("v"), "m")))
+        E2 = canon(ss.select(F.col("v").alias("a"), F.col("m").alias("b"))
+                   ).localCheckpoint(eager=True)
+        n2 = E2.count()
+        if n2 == n_edges and E2.subtract(E).count() == 0:
+            E = E2
+            converged = True
+            break
+        E, n_edges = E2, n2
+    nodes = (e.select(F.col("a").alias("node"))
+             .union(e.select(F.col("b").alias("node"))).distinct())
+    mins = E.groupBy("a").agg(F.min("b").alias("m"))
+    labels = (nodes.join(mins, nodes["node"] == mins["a"], "left")
+              .select("node", F.coalesce(F.col("m"),
+                                         F.col("node")).alias("label")))
+    return labels, converged
+
+
 def connected_components(pairs: DataFrame, a_col: str = "id_a",
-                         b_col: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         b_col: str = "id_b", max_iter: int = 25,
+                         algorithm: str = "label") -> DataFrame:
     """Duplicate-group clustering: connected components over a near-dup
     pair relation → ``(node, group_id)`` with group_id = the component's
     minimum id (the canonical "keep" representative).  The step every
@@ -200,8 +259,11 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     If ``max_iter`` rounds pass without reaching the fixpoint (an
     adversarially long chain — outside the documented shallow regime), a
     ``RuntimeWarning`` fires rather than silently returning a
-    partially-merged labeling; callers can raise ``max_iter`` or switch
-    to a large-star/small-star implementation for such graphs.
+    partially-merged labeling; callers can raise ``max_iter`` or pass
+    ``algorithm="star"`` — the alternating large-star/small-star
+    implementation (``_cc_star``, round 5) that converges in O(log n)
+    rounds regardless of component depth (a 1,000-node chain finishes in
+    a handful of rounds where label propagation needs 999).
 
     Each round materializes via ``localCheckpoint(eager=True)``, not
     persist: the logical plan references the previous round's labels
@@ -215,6 +277,17 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     import warnings
 
     e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    if algorithm == "star":
+        labels, converged = _cc_star(e, max_iter)
+        if not converged:
+            warnings.warn(
+                f"connected_components(star) hit max_iter={max_iter} "
+                "before the edge set stabilized; the grouping may be "
+                "partially merged.", RuntimeWarning, stacklevel=2)
+        return labels.select(F.col("node"), F.col("label").alias("group_id"))
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} "
+                         "(expected 'label' or 'star')")
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
     labels = (edges.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node"))

@@ -232,6 +232,51 @@ def read_figures(spark: SparkSession, figures_path: str,
     )
 
 
+def clean_orphan_figures(spark: SparkSession, figures_path: str,
+                         manifest_path: str,
+                         min_age_sec: float = 24 * 3600) -> list[str]:
+    """The janitor ``write_figures``'s docstring promises (round 5):
+    delete figure ``run_id=...`` directories with NO manifest lineage —
+    crashed attempts whose commit never happened — once older than
+    ``min_age_sec`` (so an in-flight run's directory, written moments
+    before its manifest row, is never reaped).  Committed directories are
+    untouched, and ``read_figures`` output is unchanged by construction
+    (orphans were already invisible to readers).  Returns the deleted
+    run_ids.
+
+    Driver-side filesystem metadata work only — one listing of the
+    partition directories plus the (tiny) manifest run_id set; no data
+    scan.  Local filesystem here; a deployment would route the listing
+    and delete through the Hadoop FileSystem API (or Iceberg's own
+    expire-snapshots maintenance) with identical logic."""
+    import os
+    import shutil
+    import time
+
+    try:
+        committed = {r["run_id"] for r in
+                     spark.read.parquet(manifest_path)
+                     .select("run_id").distinct().collect()}
+    except AnalysisException:
+        committed = set()
+    deleted: list[str] = []
+    if not os.path.isdir(figures_path):
+        return deleted
+    now = time.time()
+    for entry in sorted(os.listdir(figures_path)):
+        if not entry.startswith("run_id="):
+            continue
+        run_id = entry[len("run_id="):]
+        if run_id in committed:
+            continue
+        full = os.path.join(figures_path, entry)
+        if now - os.path.getmtime(full) < min_age_sec:
+            continue
+        shutil.rmtree(full)
+        deleted.append(run_id)
+    return deleted
+
+
 def committed_urls(spark: SparkSession, out_path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(out_path).select("url")

@@ -394,6 +394,35 @@ def test_connected_components_nonconvergence_warns(spark):
     assert set(done.values()) == {0}
 
 
+def test_connected_components_star_deep_chain(spark):
+    """Round-5 large-star/small-star (algorithm='star'): an adversarial
+    1,000-node chain — diameter 999, far beyond any sane label-propagation
+    max_iter — converges in O(log n) alternating rounds with NO
+    RuntimeWarning, and the labeling agrees with label propagation on a
+    branchy graph."""
+    import warnings
+
+    chain = [(i + 1, i) for i in range(999)]
+    pairs = spark.createDataFrame(pd.DataFrame(chain, columns=["id_a", "id_b"]))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {r["node"]: r["group_id"]
+               for r in dedup.connected_components(
+                   pairs, max_iter=25, algorithm="star").collect()}
+    assert len(got) == 1000 and set(got.values()) == {0}
+    # agreement with the default algorithm on a multi-component graph
+    g = [(2, 7), (7, 4), (10, 11), (20, 21), (21, 22), (22, 23), (23, 2),
+         (50, 51)]
+    pairs2 = spark.createDataFrame(pd.DataFrame(g, columns=["id_a", "id_b"]))
+    a = {r["node"]: r["group_id"] for r in dedup.connected_components(
+        pairs2, algorithm="star").collect()}
+    b = {r["node"]: r["group_id"] for r in dedup.connected_components(
+        pairs2).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        dedup.connected_components(pairs2, algorithm="banana")
+
+
 def test_incremental_dedup_across_runs(spark, tmp_path):
     """Cross-run exact dedup: a later batch never re-admits text an earlier
     batch committed; within-batch dups collapse; re-running a batch admits

@@ -198,6 +198,47 @@ def test_write_figures_run_scoped_and_crash_invisible(spark, pages, out, tmp_pat
     assert read_figures(spark, str(tmp_path / "nope"), man_path) is None
 
 
+def test_clean_orphan_figures_janitor(spark, out, tmp_path):
+    """Round-5 janitor: orphan figure run_id directories (no manifest
+    lineage) older than the age threshold are deleted; committed
+    directories and YOUNG orphans (in-flight runs) are untouched; the
+    read_figures view is unchanged (orphans were never visible)."""
+    import os
+    from qwen_ocr_spark.sinks.manifest import (clean_orphan_figures,
+                                               read_figures, write_figures)
+    figs_path = str(tmp_path / "figs")
+    out_path = str(tmp_path / "out")
+    man_path = str(tmp_path / "manifest")
+
+    write_figures(out, figs_path, "committed1")
+    write_output(out, out_path, man_path, "committed1")
+    write_figures(out, figs_path, "orphan-old")
+    write_figures(out, figs_path, "orphan-young")
+    # age the old orphan past the threshold
+    old_dir = os.path.join(figs_path, "run_id=orphan-old")
+    os.utime(old_dir, (1, 1))
+
+    before = sorted(r["url"] for r in
+                    read_figures(spark, figs_path, man_path).collect())
+    deleted = clean_orphan_figures(spark, figs_path, man_path,
+                                   min_age_sec=3600)
+    assert deleted == ["orphan-old"]
+    assert not os.path.exists(old_dir)
+    assert os.path.isdir(os.path.join(figs_path, "run_id=committed1"))
+    assert os.path.isdir(os.path.join(figs_path, "run_id=orphan-young"))
+    after = sorted(r["url"] for r in
+                   read_figures(spark, figs_path, man_path).collect())
+    assert after == before
+    # min_age_sec=0 reaps the young orphan too; committed stays
+    assert clean_orphan_figures(spark, figs_path, man_path,
+                                min_age_sec=0) == ["orphan-young"]
+    assert os.path.isdir(os.path.join(figs_path, "run_id=committed1"))
+    # missing figures dir and missing manifest are both no-ops
+    assert clean_orphan_figures(spark, str(tmp_path / "nope"), man_path) == []
+    assert clean_orphan_figures(spark, figs_path,
+                                str(tmp_path / "noman"), min_age_sec=1e12) == []
+
+
 def test_write_figures_replay_same_run_id_exactly_once(spark, out, tmp_path):
     """Streaming replays re-deliver the SAME deterministic run_id
     (stream-{token}-{batch}); the figures write must be idempotent per
