@@ -50,10 +50,11 @@ class UnsupportedCodec(NotImplementedError):
     Round 3's baseline-JPEG decoder, round 4's progressive scans, QM
     arithmetic coder (the complete DCT family) and complete PNG
     pixel-format coverage, and round 5's full GIF support (87a/89a,
-    interlaced, animated — functions/codecs.py, pinned by externally-
-    produced files in tests/external_fixtures/) narrowed this seam to
-    lossless/hierarchical/12-bit JPEG and WebP bitstreams (no PIL/libav
-    here).  Replace by a full codec lib in deployment."""
+    interlaced, animated) plus the WebP-lossless (VP8L) decoder — all in
+    functions/codecs.py, pinned by externally-produced files in
+    tests/external_fixtures/ — narrowed this seam to lossless/
+    hierarchical/12-bit JPEG and lossy VP8 WebP (no PIL/libav here).
+    Replace by a full codec lib in deployment."""
 
 
 def _decode_gray(codec: str, payload: bytes, w: int, h: int) -> np.ndarray:
@@ -152,6 +153,15 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
                     # so the invariance suite covers the format
                     rows.append((i, "image", "GIF",
                                  codecs.encode_gif(px, interlace=i % 2 == 0),
+                                 (w, h, 1, 0)))
+                elif i % 11 == 2:
+                    # REAL WebP-lossless stills (round 5): VP8L with the
+                    # transform rotating — identical pixels, so the
+                    # invariance suite covers the format
+                    rows.append((i, "image", "WEBP",
+                                 codecs.encode_vp8l(
+                                     px, subtract_green=i % 2 == 0,
+                                     predictor=i % 4 == 0),
                                  (w, h, 1, 0)))
                 elif i % 11 == 8:
                     rows.append((i, "image", "PGM", codecs.encode_pgm(px),

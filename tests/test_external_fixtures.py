@@ -97,3 +97,23 @@ def test_external_wav_pcm8_and_pcm16():
     assert s8.shape == s16.shape == (3307, 2)
     assert _md5(s8) == "7304c2af697c"
     assert _md5(s16) == "03adf2f2709d"
+
+
+def test_external_webp_alpha_plane_vp8l():
+    """python.webp (CPython test asset, libwebp-produced): a VP8X
+    container whose ALPH chunk is compressed with the LOSSLESS method —
+    a real libwebp VP8L bitstream.  Decoding it end to end through the
+    prefix-code/LZ77/color-cache layer yields the Python-logo alpha
+    mask — external conformance evidence for the VP8L entropy decoder
+    (including the 2D distance map: any mapping error scrambles the
+    mask into noise)."""
+    d = _read("webp_vp8x_alpha_python.webp")
+    a = codecs.decode_webp_alpha(d)
+    assert a.shape == (16, 16)
+    assert _md5(a) == "fa1667e19ae1"
+    # the mask is structured, not noise: mostly 0/255, row-coherent
+    frac_extreme = ((a == 0) | (a == 255)).mean()
+    assert frac_extreme > 0.5, frac_extreme
+    # the logo's interior rows are mostly opaque, the corners transparent
+    assert a[0, 0] == 0 and a[0, 15] == 0
+    assert (a[5] > 128).sum() > 8
