@@ -427,6 +427,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      max_df=dedup.MAX_SHINGLE_DF)
 
 
+def q_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup composition (round 5): MinHash-LSH
+    proposes candidate pairs sub-quadratically, exact n-gram Jaccard
+    verifies ONLY those pairs — linear in candidates, independent of
+    shingle document frequencies.  This is the shape that survives at
+    10^12 documents; the all-pairs ngram_jaccard query above is the
+    exact bounded-relation baseline (and showed the expected quadratic
+    df-densification regime at the sf1 scale check)."""
+    docs = _docs2(spark, sf_dir)
+    cands = dedup.lsh_candidate_pairs(dedup.minhash_signatures(
+        dedup.word_shingles(docs, distinct=False)))
+    return dedup.jaccard_verify_pairs(docs, cands, threshold=0.8)
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: capped-jaccard pairs → connected components →
     min-id representative per group (is_keep).  Exactly oracled via a
@@ -691,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_groups": q_dedup_groups,
         "ngram_jaccard": q_ngram_jaccard,
+        "jaccard_verified": q_jaccard_verified,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1057,6 +1072,30 @@ banded AS ({band_selects})
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM banded l JOIN banded r ON l.band_key = r.band_key
 WHERE l.doc_id < r.doc_id
+"""
+
+    q["jaccard_verified"] = f"""
+WITH {_DOCS2},
+{_minhash_slots_sql('docs2')},
+banded AS ({band_selects}),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM banded l JOIN banded r ON l.band_key = r.band_key
+         WHERE l.doc_id < r.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       CAST(floor(inter * 10000.0 / (sa.n_shingles + sb.n_shingles - inter)) AS BIGINT)
+         AS jaccard_e4
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE floor(inter * 10000.0 / (sa.n_shingles + sb.n_shingles - inter)) >= 8000
 """
 
     q["simhash"] = f"""

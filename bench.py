@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",
     "lsh_pairs",
     "ngram_jaccard",
+    "jaccard_verified",
     "simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",

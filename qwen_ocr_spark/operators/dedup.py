@@ -234,6 +234,59 @@ def _cc_star(e: DataFrame, max_iter: int) -> tuple[DataFrame, bool]:
     return labels, converged
 
 
+def jaccard_verify_pairs(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = SHINGLE_N, threshold: float = 0.8,
+                         persist: bool = True,
+                         storage: list | None = None) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY on candidate pairs — the
+    production near-dup composition at corpus scale (round 5): a
+    sub-quadratic candidate generator (MinHash-LSH / SimHash) proposes
+    (id_a, id_b) pairs and the exact measure verifies them.
+
+    Cost: two equi-joins + one pair-key aggregate — linear in
+    |candidates| x shingles/doc, INDEPENDENT of shingle document
+    frequencies.  The all-pairs co-shingle join (ngram_jaccard_pairs)
+    costs sum(min(df, cap)^2) over shingles, which transitions through a
+    quadratic regime as DFs densify with corpus growth (measured 48x
+    runtime for 10x rows on the synthetic corpus at sf1 — the round-5
+    scale check; BENCH/BASELINE.md).  At 10^12 documents only this
+    verified-candidates shape survives; the all-pairs operator remains
+    the exact baseline for bounded relations.
+
+    Candidates with zero shared shingles simply drop out (they cannot
+    reach any positive threshold).  Output: (id_a, id_b, jaccard_e4) for
+    pairs at/above threshold — same contract as ngram_jaccard_pairs."""
+    sh = word_shingles(df, id_col, text_col, n)
+    if persist:
+        sh = track_cached(sh.persist(), storage)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    cand = pairs.select("id_a", "id_b")
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, on="id_a")
+        .join(b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard_e4",
+            F.floor(
+                F.col("inter") * 10000.0
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).cast("bigint"),
+        )
+        .where(F.col("jaccard_e4") >= int(threshold * 10000))
+        .select("id_a", "id_b", "jaccard_e4")
+    )
+
+
 def connected_components(pairs: DataFrame, a_col: str = "id_a",
                          b_col: str = "id_b", max_iter: int = 25,
                          algorithm: str = "label") -> DataFrame:
