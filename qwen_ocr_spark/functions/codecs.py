@@ -29,9 +29,14 @@ the multimodal operators decode them FOR REAL instead of stubbing:
          (compression method 1) decode through the same entropy layer,
          pinned by a libwebp-produced file.  Lossy VP8 raises
          ``UnsupportedVariant``.
+* TIFF — round 5: II/MM, strips, none/PackBits/LZW/Deflate compression
+         (LZW shared with the PDF path), horizontal predictor, gray/
+         RGB/RGBA/palette; tiles/CCITT/JPEG-in-TIFF raise the seam.
 * BMP  — uncompressed 24-bit BI_RGB, bottom-up or top-down.
 * PGM  — binary P5, maxval <= 255.
 * WAV  — PCM via the stdlib ``wave`` module (8/16/32-bit).
+* AU / AIFF / AIFC — round 5 (CPython removed sunau/aifc): PCM 8/16/24/
+  32-bit plus G.711 mu-law for AU; AIFF-C NONE/sowt.
 
 Encoders exist for each (deterministic bytes) so synthetic corpora and
 tests can round-trip without external fixtures.
@@ -2207,6 +2212,17 @@ def encode_jpeg_progressive_arith(img: np.ndarray,
     return (b"\xff\xd8" + dqt + sof + dac + b"".join(scans) + b"\xff\xd9")
 
 
+def decode_audio(codec: str, payload: bytes) -> tuple[np.ndarray, int]:
+    """Dispatch: WAV / AU (PCM + mu-law) / AIFF / AIFC → (samples, rate)."""
+    if codec == "WAV":
+        return decode_wav(payload)
+    if codec == "AU":
+        return decode_au(payload)
+    if codec in ("AIFF", "AIFC"):
+        return decode_aiff(payload)
+    raise KeyError(codec)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """→ (samples int32 array of shape (n, channels), sample_rate)."""
     with wave.open(io.BytesIO(data), "rb") as f:
@@ -3323,6 +3339,316 @@ def decode_webp_alpha(data: bytes) -> "np.ndarray":
 
 
 # ---------------------------------------------------------------------------
+# TIFF (round 5) — baseline crawl coverage: II/MM byte order, strip
+# organization, compression none/PackBits/LZW/Deflate (the LZW core is
+# the SAME MSB-first EarlyChange code TIFF shares with PDF's LZWDecode —
+# functions/pdfx.py), horizontal-differencing predictor, photometric
+# gray (incl. white-is-zero), RGB/RGBA, and palette.  Tiles, CCITT fax,
+# JPEG-in-TIFF and sub-8-bit depths raise UnsupportedVariant.
+# External pin: CPython's python.tiff (tests/external_fixtures/).
+# ---------------------------------------------------------------------------
+
+def _tiff_unpackbits(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """First IFD → uint8 array (h, w[, channels])."""
+    if data[:2] not in (b"II", b"MM") or len(data) < 8:
+        raise UnsupportedVariant("not a TIFF header")
+    bo = "<" if data[:2] == b"II" else ">"
+    if struct.unpack(bo + "H", data[2:4])[0] != 42:
+        raise UnsupportedVariant("not a classic TIFF (42)")
+    off = struct.unpack(bo + "I", data[4:8])[0]
+    n = struct.unpack(bo + "H", data[off:off + 2])[0]
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        e = data[off + 2 + i * 12: off + 14 + i * 12]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        if typ not in sizes:
+            continue
+        total = sizes[typ] * cnt
+        raw = e[8:12] if total <= 4 else data[
+            struct.unpack(bo + "I", e[8:12])[0]:][:total]
+        if typ == 3:
+            vals = list(struct.unpack(bo + f"{cnt}H", raw[:2 * cnt]))
+        elif typ == 4:
+            vals = list(struct.unpack(bo + f"{cnt}I", raw[:4 * cnt]))
+        elif typ == 1:
+            vals = list(raw[:cnt])
+        elif typ == 5:
+            vals = [struct.unpack(bo + "II", raw[j * 8:j * 8 + 8])[0]
+                    for j in range(cnt)]
+        else:
+            vals = []
+        tags[tag] = vals
+
+    def one(tag: int, default: int | None = None) -> int:
+        v = tags.get(tag)
+        if not v:
+            if default is None:
+                raise UnsupportedVariant(f"TIFF tag {tag} missing")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photometric = one(262, 1)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    predictor = one(317, 1)
+    if 322 in tags:
+        raise UnsupportedVariant("tiled TIFF not supported")
+    if any(b != 8 for b in bits[:spp]):
+        raise UnsupportedVariant(f"TIFF bit depth {bits} (only 8-bit)")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts:
+        raise UnsupportedVariant("TIFF without strip offsets")
+    rows_per_strip = one(278, h)
+    raw = bytearray()
+    for so, sc in zip(offsets, counts):
+        chunk = bytes(data[so:so + sc])
+        if comp == 1:
+            pass
+        elif comp == 5:
+            from qwen_ocr_spark.functions.pdfx import _lzw_decode
+            chunk = _lzw_decode(chunk)
+        elif comp in (8, 32946):
+            chunk = zlib.decompress(chunk)
+        elif comp == 32773:
+            n_rows = min(rows_per_strip, h - len(raw) // (w * spp))
+            chunk = _tiff_unpackbits(chunk, n_rows * w * spp)
+        else:
+            raise UnsupportedVariant(f"TIFF compression {comp}")
+        raw += chunk
+    if len(raw) < w * h * spp:
+        raise UnsupportedVariant("TIFF pixel data truncated")
+    img = np.frombuffer(bytes(raw[:w * h * spp]),
+                        np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        img = np.cumsum(img.astype(np.uint16), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise UnsupportedVariant(f"TIFF predictor {predictor}")
+    if photometric == 3:  # palette via ColorMap (16-bit entries)
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise UnsupportedVariant("palette TIFF without ColorMap")
+        lut = (np.array(cmap[:3 * 256], np.uint32)
+               .reshape(3, 256).T >> 8).astype(np.uint8)
+        return lut[img[:, :, 0]]
+    if photometric == 0:  # white is zero
+        img = 255 - img
+    if spp == 1:
+        return img[:, :, 0]
+    return img
+
+
+def encode_tiff(img: np.ndarray, compression: int = 1,
+                predictor: bool = False) -> bytes:
+    """Little-endian single-strip writer (gray / RGB / RGBA), compression
+    1 (none), 5 (LZW), 8 (deflate), 32773 (PackBits naive literal runs),
+    optional horizontal-differencing predictor — round-trip fixtures."""
+    if img.ndim == 2:
+        spp, flat = 1, img[:, :, None]
+    else:
+        spp, flat = img.shape[2], img
+    h, w = img.shape[:2]
+    px = flat
+    if predictor:
+        d = px.astype(np.int16)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        px = (d % 256).astype(np.uint8)
+    payload = px.tobytes()
+    if compression == 5:
+        from qwen_ocr_spark.functions.pdfx import _lzw_encode
+        payload = _lzw_encode(payload)
+    elif compression == 8:
+        payload = zlib.compress(payload)
+    elif compression == 32773:
+        out = bytearray()
+        for i in range(0, len(payload), 127):
+            chunk = payload[i:i + 127]
+            out.append(len(chunk) - 1)
+            out += chunk
+        payload = bytes(out)
+    elif compression != 1:
+        raise ValueError(compression)
+    entries = []
+
+    def entry(tag: int, typ: int, vals: list[int]) -> None:
+        entries.append((tag, typ, vals))
+
+    photometric = 1 if spp == 1 else 2
+    entry(256, 3, [w])
+    entry(257, 3, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [compression])
+    entry(262, 3, [photometric])
+    entry(273, 4, [0])   # patched below
+    entry(277, 3, [spp])
+    entry(278, 3, [h])
+    entry(279, 4, [len(payload)])
+    if predictor:
+        entry(317, 3, [2])
+    if spp == 4:
+        entry(338, 3, [2])
+    entries.sort()
+    n = len(entries)
+    ifd_off = 8
+    extra_off = ifd_off + 2 + n * 12 + 4
+    extra = bytearray()
+    body = bytearray()
+    body += struct.pack("<H", n)
+    sizes = {3: 2, 4: 4}
+    for tag, typ, vals in entries:
+        total = sizes[typ] * len(vals)
+        fmt = "H" if typ == 3 else "I"
+        packed = struct.pack(f"<{len(vals)}{fmt}", *vals)
+        if tag == 273:
+            packed = b"\x00" * 4  # patched after layout
+        if total <= 4:
+            body += struct.pack("<HHI", tag, typ, len(vals))
+            body += packed + b"\x00" * (4 - total)
+        else:
+            body += struct.pack("<HHII", tag, typ, len(vals),
+                                extra_off + len(extra))
+            extra += packed
+    body += struct.pack("<I", 0)  # next IFD
+    data_off = extra_off + len(extra)
+    out = (b"II*\x00" + struct.pack("<I", ifd_off) + bytes(body)
+           + bytes(extra) + payload)
+    # patch strip offset (tag 273)
+    pos = 8 + 2
+    buf = bytearray(out)
+    for tag, typ, vals in entries:
+        if tag == 273:
+            buf[pos + 8:pos + 12] = struct.pack("<I", data_off)
+        pos += 12
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
+# AU / AIFF audio (round 5) — the other PCM containers a crawl carries
+# (CPython 3.13 removed sunau/aifc; these are from-scratch).  Both decode
+# to the decode_wav contract: (int32 samples (n, ch), rate).
+# ---------------------------------------------------------------------------
+
+def decode_au(data: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU: big-endian header, PCM encodings 2/3/4/5 (8/16/24/32-bit
+    linear); mu-law (1) raises UnsupportedVariant."""
+    if data[:4] != b".snd":
+        raise UnsupportedVariant("not an AU file")
+    off, size, enc, rate, ch = struct.unpack(">IIIII", data[4:24])
+    body = data[off:off + size] if size != 0xFFFFFFFF else data[off:]
+    if enc == 1:  # G.711 mu-law → 16-bit linear (the classic .au form)
+        u = ~np.frombuffer(body, np.uint8)
+        sign = u & 0x80
+        exp = (u >> 4) & 7
+        mant = (u & 0x0F).astype(np.int32)
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        a = np.where(sign, -mag, mag).astype(np.int32)
+        n = len(a) // ch
+        return a[: n * ch].reshape(-1, ch), rate
+    pcm_bits = {2: 8, 3: 16, 4: 24, 5: 32}.get(enc)
+    if pcm_bits is None:
+        raise UnsupportedVariant(f"AU encoding {enc} (float/ADPCM out)")
+    width = pcm_bits // 8
+    nsamp = len(body) // (width * ch)
+    body = body[: nsamp * width * ch]
+    if width == 1:
+        a = np.frombuffer(body, np.int8).astype(np.int32)
+    elif width == 2:
+        a = np.frombuffer(body, ">i2").astype(np.int32)
+    elif width == 4:
+        a = np.frombuffer(body, ">i4").astype(np.int32)
+    else:  # 24-bit big-endian
+        b = np.frombuffer(body, np.uint8).reshape(-1, 3).astype(np.uint32)
+        a = ((b[:, 0] << 24) | (b[:, 1] << 16) | (b[:, 2] << 8)
+             ).astype(np.int32) >> 8
+    return a.reshape(-1, ch), rate
+
+
+def _f80_to_int(b: bytes) -> int:
+    """IEEE 754 80-bit extended float → int (AIFF sample rates are small
+    positive integers stored this way)."""
+    sign_exp = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:10])[0]
+    exp = (sign_exp & 0x7FFF) - 16383
+    if mant == 0:
+        return 0
+    val = mant / float(1 << 63) * (2.0 ** exp)
+    return int(round(-val if sign_exp & 0x8000 else val))
+
+
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF (PCM big-endian) and AIFF-C with the 'NONE' compression type;
+    compressed AIFF-C variants raise UnsupportedVariant."""
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise UnsupportedVariant("not an AIFF file")
+    is_aifc = data[8:12] == b"AIFC"
+    pos = 12
+    ch = bits = rate = None
+    frames = 0
+    body = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack(">I", data[pos + 4:pos + 8])[0]
+        payload = data[pos + 8:pos + 8 + size]
+        if cid == b"COMM":
+            ch, frames, bits = struct.unpack(">HIH", payload[:8])
+            rate = _f80_to_int(payload[8:18])
+            if is_aifc and len(payload) >= 22:
+                ctype = payload[18:22]
+                if ctype not in (b"NONE", b"sowt"):
+                    raise UnsupportedVariant(
+                        f"AIFF-C compression {ctype!r}")
+                if ctype == b"sowt":
+                    bits = -bits  # little-endian marker
+        elif cid == b"SSND":
+            data_off = struct.unpack(">I", payload[:4])[0]
+            body = payload[8 + data_off:]
+        pos += 8 + size + (size & 1)
+    if ch is None or body is None:
+        raise UnsupportedVariant("AIFF missing COMM/SSND")
+    le = bits is not None and bits < 0
+    bits = abs(bits)
+    if bits not in (8, 16, 24, 32):
+        raise UnsupportedVariant(f"AIFF bit depth {bits}")
+    width = bits // 8
+    n = min(frames, len(body) // (width * ch))
+    body = body[: n * width * ch]
+    if width == 1:
+        a = np.frombuffer(body, np.int8).astype(np.int32)
+    elif width == 2:
+        a = np.frombuffer(body, "<i2" if le else ">i2").astype(np.int32)
+    elif width == 4:
+        a = np.frombuffer(body, "<i4" if le else ">i4").astype(np.int32)
+    else:
+        b = np.frombuffer(body, np.uint8).reshape(-1, 3).astype(np.uint32)
+        if le:
+            a = ((b[:, 2] << 24) | (b[:, 1] << 16) | (b[:, 0] << 8)
+                 ).astype(np.int32) >> 8
+        else:
+            a = ((b[:, 0] << 24) | (b[:, 1] << 16) | (b[:, 2] << 8)
+                 ).astype(np.int32) >> 8
+    return a.reshape(-1, ch), rate
+
+
+# ---------------------------------------------------------------------------
 # shared helpers
 # ---------------------------------------------------------------------------
 
@@ -3352,6 +3678,8 @@ def decode_image(codec: str, payload: bytes, width: int = 0,
         return decode_jpeg(payload)
     if codec == "GIF":
         return decode_gif(payload)
+    if codec == "TIFF":
+        return decode_tiff(payload)
     if codec == "WEBP":
         # VP8L (lossless) decodes fully (round 5); lossy VP8 raises a
         # precise UnsupportedVariant from decode_webp

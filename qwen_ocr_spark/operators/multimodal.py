@@ -164,8 +164,18 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
                                      predictor=i % 4 == 0),
                                  (w, h, 1, 0)))
                 elif i % 11 == 8:
-                    rows.append((i, "image", "PGM", codecs.encode_pgm(px),
-                                 (w, h, 1, 0)))
+                    if i % 2 == 0:
+                        # REAL TIFF stills (round 5): LZW or deflate with
+                        # the horizontal predictor — identical pixels
+                        rows.append((i, "image", "TIFF",
+                                     codecs.encode_tiff(
+                                         px,
+                                         compression=5 if i % 4 == 0 else 8,
+                                         predictor=True),
+                                     (w, h, 1, 0)))
+                    else:
+                        rows.append((i, "image", "PGM", codecs.encode_pgm(px),
+                                     (w, h, 1, 0)))
                 else:
                     rows.append((i, "image", "RAWGRAY", px.tobytes(),
                                  (w, h, 1, 0)))
@@ -288,9 +298,12 @@ def audio_features(media: DataFrame) -> DataFrame:
                 b["media_id"], b["codec"], b["payload"]
             ):
                 try:
-                    if codec != "WAV":
-                        raise UnsupportedCodec(f"no audio decoder for {codec!r}")
-                    samples, rate = codecs.decode_wav(bytes(payload))
+                    try:
+                        samples, rate = codecs.decode_audio(
+                            codec, bytes(payload))
+                    except KeyError:
+                        raise UnsupportedCodec(
+                            f"no audio decoder for {codec!r}") from None
                     n, ch = samples.shape
                     rms = math.sqrt(
                         float((samples.astype(np.float64) ** 2).mean()))

@@ -155,7 +155,9 @@ def test_decode_image_dispatch():
     assert np.array_equal(codecs.decode_image("RAWGRAY", img.tobytes(), 8, 8), img)
     assert np.array_equal(codecs.decode_image("PNG", codecs.encode_png(img)), img)
     with pytest.raises(KeyError):
-        codecs.decode_image("TIFF", b"II*\x00")  # genuinely no decoder
+        codecs.decode_image("JXL", b"\xff\x0a")  # genuinely no decoder
+    with pytest.raises(codecs.UnsupportedVariant):
+        codecs.decode_image("TIFF", b"II+\x00")  # BigTIFF: decoder exists (r5)
     with pytest.raises(codecs.UnsupportedVariant):
         codecs.decode_image("GIF", b"GIF89a")  # decoder exists (r5); truncated
     with pytest.raises(ValueError):
@@ -447,3 +449,47 @@ def test_webp_container_errors():
     lossy = (b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00aaaa")
     with pytest.raises(codecs.UnsupportedVariant, match="lossy"):
         codecs.decode_webp(lossy)
+
+
+def test_tiff_roundtrip_all_compressions():
+    """TIFF (round 5): gray/RGB/RGBA round-trip through none, LZW (the
+    shared MSB-first EarlyChange core from the PDF path), deflate and
+    PackBits, with and without the horizontal-differencing predictor."""
+    rng = np.random.RandomState(3)
+    for shape in [(9, 11), (16, 16, 3), (7, 5, 4)]:
+        img = rng.randint(0, 256, shape, np.uint8)
+        for comp in (1, 5, 8, 32773):
+            for pred in (False, True):
+                got = codecs.decode_tiff(codecs.encode_tiff(img, comp, pred))
+                assert np.array_equal(got, img), (shape, comp, pred)
+    with pytest.raises(codecs.UnsupportedVariant):
+        codecs.decode_tiff(b"MM\x00\x2b")  # BigTIFF
+    with pytest.raises(codecs.UnsupportedVariant):
+        codecs.decode_tiff(b"PNG?")
+
+
+def test_au_aiff_decode_contracts():
+    """AU (PCM + G.711 mu-law) and AIFF/AIFC (NONE/sowt) decode to the
+    decode_wav contract; unsupported compressions raise the typed seam."""
+    from qwen_ocr_spark.functions.codecs import decode_au, decode_aiff
+    # hand-built PCM AU: 4 samples, 16-bit, mono
+    import struct as st
+    samples = np.array([100, -100, 32000, -32000], np.int16)
+    au = (b".snd" + st.pack(">IIIII", 24, 8, 3, 8000, 1)
+          + samples.astype(">i2").tobytes())
+    s, rate = decode_au(au)
+    assert rate == 8000 and np.array_equal(s[:, 0], samples.astype(np.int32))
+    with pytest.raises(codecs.UnsupportedVariant):
+        decode_au(b".snd" + st.pack(">IIIII", 24, 4, 6, 8000, 1) + b"\0" * 4)
+    # hand-built AIFF-C with an unsupported compressor
+    comm = st.pack(">HIH", 1, 1, 16) + b"\x40\x0c\xac\x44" + b"\0" * 6 \
+        + b"ima4" + b"\x00"
+    aifc = (b"FORM" + st.pack(">I", 4 + 8 + len(comm)) + b"AIFC"
+            + b"COMM" + st.pack(">I", len(comm)) + comm)
+    with pytest.raises(codecs.UnsupportedVariant):
+        decode_aiff(aifc)
+    # audio dispatch
+    s2, r2 = codecs.decode_audio("AU", au)
+    assert r2 == 8000 and np.array_equal(s2, s)
+    with pytest.raises(KeyError):
+        codecs.decode_audio("MP3", b"ID3")

@@ -15,6 +15,10 @@ JPEGs) and are checked into tests/external_fixtures/:
 * PNG: palette (color type 3), RGB (2), RGBA (6), gray+alpha (4).
 * JPEG: libjpeg baseline and PROGRESSIVE (SOF2) color files.
 * WAV: 8-bit and 16-bit PCM from CPython's audiodata.
+* WebP: libwebp VP8X whose ALPH chunk is a real VP8L lossless stream.
+* TIFF: uncompressed RGBA (python.tiff — decodes pixel-identical to the
+  palette PNG of the same logo: cross-format agreement).
+* AU (G.711 mu-law) and AIFF/AIFC PCM from CPython test data.
 
 Pixel md5s below are regression pins recorded from this decoder AFTER the
 structural validation above (dims exact, streams fully consumed, no
@@ -117,3 +121,37 @@ def test_external_webp_alpha_plane_vp8l():
     # the logo's interior rows are mostly opaque, the corners transparent
     assert a[0, 0] == 0 and a[0, 15] == 0
     assert (a[5] > 128).sum() > 8
+
+
+def test_external_tiff_matches_png_pixels():
+    """python.tiff and python.png (same 16x16 logo, two different
+    containers produced by different tools) decode to IDENTICAL RGBA
+    pixels through two independent decoders — cross-format external
+    agreement, the strongest conformance evidence available offline."""
+    tif = codecs.decode_tiff(_read("tiff_rgba_python.tiff"))
+    png = codecs.decode_png(_read("png_palette_python.png"))
+    assert tif.shape == png.shape == (16, 16, 4)
+    assert np.array_equal(tif, png)
+    assert _md5(tif) == "d5ebfcd830af"
+
+
+def test_external_au_mulaw():
+    """sndhdr.au: real G.711 mu-law audio; decodes to full-range 16-bit
+    linear (mu-law's max magnitude is 32124 exactly)."""
+    s, rate = codecs.decode_au(_read("au_ulaw_sndhdr.au"))
+    assert rate == 8012 and s.shape == (28110, 1)
+    assert s.max() == 32124 and s.min() == -31100
+    assert _md5(s) == "253c22736ab8"
+
+
+def test_external_aiff_and_aifc():
+    s, rate = codecs.decode_aiff(_read("aiff_pcm16_pluck.aiff"))
+    assert rate == 11025 and s.shape == (3307, 2)
+    assert _md5(s) == "575e092ea24c"
+    # cross-container: the WAV edition of the same recording agrees to
+    # within conversion dither (separately produced fixtures)
+    w, rw = codecs.decode_wav(_read("wav_pcm16_pluck.wav"))
+    assert rw == rate and w.shape == s.shape
+    assert np.abs(w.astype(np.int64) - s.astype(np.int64)).max() <= 16
+    s2, r2 = codecs.decode_aiff(_read("aifc_none_sndhdr.aifc"))
+    assert r2 == 44100 and s2.shape == (5, 2)

@@ -25,7 +25,7 @@ def test_media_schema_and_kinds(media):
     assert kinds == {"image", "video", "audio"}
     codecs_present = {r["codec"] for r in media.select("codec").distinct().collect()}
     assert {"RAWGRAY", "PNG", "BMP", "PGM", "WAV", "JPEG", "GIF",
-            "WEBP"} <= codecs_present
+            "WEBP", "TIFF"} <= codecs_present
     # GIF appears both as an image still and a video container (round 5)
     gif_kinds = {r["kind"] for r in
                  media.where(F.col("codec") == "GIF").select("kind").distinct().collect()}
@@ -53,7 +53,8 @@ def test_image_features_encoding_invariant(media):
             f"codec {rows[i]['codec']} drifted"
         by_codec.setdefault(rows[i]["codec"], 0)
         by_codec[rows[i]["codec"]] += 1
-    for c in ("PNG", "BMP", "PGM", "RAWGRAY", "JPEG", "GIF", "WEBP"):
+    for c in ("PNG", "BMP", "PGM", "RAWGRAY", "JPEG", "GIF", "WEBP",
+              "TIFF"):
         assert by_codec.get(c, 0) > 0, f"no decoded {c} rows in fixture"
 
 
