@@ -15,7 +15,9 @@ the multimodal operators decode them FOR REAL instead of stubbing:
          sequential + progressive (SOF9/SOF10: QM coder + Annex-F/G
          conditioning, DAC segments): gray or YCbCr, any sampling
          factors incl. 4:2:0, restart intervals, tables read from the
-         file; lossless/hierarchical/12-bit raise ``UnsupportedVariant``.
+         file, plus SOF3 LOSSLESS (round 5: predictive Huffman, all 7
+         predictors, 8/16-bit, exact); hierarchical and 12-bit-DCT raise
+         ``UnsupportedVariant``.
 * GIF  — 87a/89a complete (round 5): LSB-first LZW with 12-bit cap and
          deferred clear, global/local color tables, 4-pass interlacing,
          transparency, multi-frame animation with disposal 2/3 — decode
@@ -539,6 +541,126 @@ def _huff_read(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("bad JPEG huffman code")
 
 
+def _decode_lossless_scan(data, pos, comps, smap, huff, w, h,
+                          precision, dri, pred_sel, pt) -> np.ndarray:
+    """T.81 Annex H lossless decoding (SOF3, round 5): per-sample Huffman
+    difference categories + predictive reconstruction.  Supported subset:
+    sampling 1x1 per component, Pt=0, no restart markers (the forms
+    encode_jpeg_lossless and the common single-scan writers emit)."""
+    if pt:
+        raise UnsupportedVariant("lossless point transform unsupported")
+    if dri:
+        raise UnsupportedVariant("lossless restart intervals unsupported")
+    if not 1 <= pred_sel <= 7:
+        raise ValueError(f"invalid lossless predictor {pred_sel}")
+    scomps = [c for c in comps if c["id"] in smap]
+    if any(c["h"] != 1 or c["v"] != 1 for c in scomps):
+        raise UnsupportedVariant("lossless subsampling unsupported")
+    nc = len(scomps)
+    tables = []
+    for c in scomps:
+        td = smap[c["id"]][0]
+        if (0, td) not in huff:
+            raise ValueError("lossless scan references missing DC table")
+        tables.append(huff[(0, td)])
+    out = np.zeros((h, w, nc), np.int32)
+    r = _BitReader(data, pos)
+    default = 1 << (precision - 1)
+    mask = 0xFFFF
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                s = _huff_read(r, tables[ci])
+                if s == 16:
+                    diff = 32768
+                elif s:
+                    diff = _extend(r.receive(s), s)
+                else:
+                    diff = 0
+                if y == 0:
+                    px = default if x == 0 else int(out[0, x - 1, ci])
+                elif x == 0:
+                    px = int(out[y - 1, 0, ci])
+                else:
+                    a = int(out[y, x - 1, ci])
+                    b = int(out[y - 1, x, ci])
+                    cc = int(out[y - 1, x - 1, ci])
+                    px = (a, b, cc, a + b - cc, a + ((b - cc) >> 1),
+                          b + ((a - cc) >> 1), (a + b) >> 1)[pred_sel - 1]
+                out[y, x, ci] = (px + diff) & mask
+    out &= (1 << precision) - 1
+    dt = np.uint8 if precision <= 8 else np.uint16
+    if nc == 1:
+        return out[:, :, 0].astype(dt)
+    return out.astype(dt)
+
+
+# fixed difference-category Huffman table for the lossless encoder:
+# categories 0..16, lengths chosen Kraft-incomplete so the all-ones code
+# is never assigned (T.81 requirement)
+_LL_BITS = [3, 3, 3, 3, 3, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14]
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1) -> bytes:
+    """SOF3 lossless encoder (gray uint8/uint16 or RGB uint8), one scan,
+    predictors 1-7, fixed category table — decode_jpeg round-trips
+    EXACTLY (lossless)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(predictor)
+    precision = 16 if img.dtype == np.uint16 else 8
+    px = img[:, :, None].astype(np.int32) if img.ndim == 2 \
+        else img.astype(np.int32)
+    h, w, nc = px.shape
+    # Huffman from the fixed length table (canonical, symbol order)
+    lengths = {cat: _LL_BITS[cat] for cat in range(17)}
+    bits = [0] * 16
+    for l in lengths.values():
+        bits[l - 1] += 1
+    vals = [cat for _, cat in sorted((l, c) for c, l in lengths.items())]
+    codes = _huff_codes(bits, vals)
+    bw = _BitWriter()
+    default = 1 << (precision - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                if y == 0:
+                    p = default if x == 0 else int(px[0, x - 1, ci])
+                elif x == 0:
+                    p = int(px[y - 1, 0, ci])
+                else:
+                    a = int(px[y, x - 1, ci])
+                    b = int(px[y - 1, x, ci])
+                    cc = int(px[y - 1, x - 1, ci])
+                    p = (a, b, cc, a + b - cc, a + ((b - cc) >> 1),
+                         b + ((a - cc) >> 1), (a + b) >> 1)[predictor - 1]
+                diff = (int(px[y, x, ci]) - p) & 0xFFFF
+                if diff >= 0x8000:
+                    diff -= 0x10000  # signed mod-2^16 difference
+                if diff == 32768 or diff == -32768:
+                    code, n = codes[16]
+                    bw.write(code, n)
+                    continue
+                cat = _cat(abs(diff)) if diff else 0
+                code, n = codes[cat]
+                bw.write(code, n)
+                if cat:
+                    v = diff if diff >= 0 else diff + (1 << cat) - 1
+                    bw.write(v, cat)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc]) + b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(nc))
+    dht = bytes([0x00]) + bytes(bits) + bytes(vals)
+    sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc)) \
+        + bytes([predictor, 0, 0])
+    return (b"\xff\xd8" + seg(0xC3, sof) + seg(0xC4, dht) + seg(0xDA, sos)
+            + bytes(bw.out) + b"\xff\xd9")
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Sequential (SOF0/1) or progressive (SOF2) JPEG → uint8 (h, w) gray
     or (h, w, 3) RGB.  Progressive frames accumulate coefficients across
@@ -553,6 +675,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dri = 0
     progressive = False
     arith = False
+    lossless = False
+    precision = 8
     cond_dc: dict[int, tuple[int, int]] = {}  # DAC: table id → (L, U)
     cond_ac: dict[int, int] = {}              # DAC: table id → Kx
     coefs: list[np.ndarray] | None = None    # per comp (bh, bw, 64) zigzag
@@ -575,24 +699,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise UnsupportedVariant("16-bit quant tables unsupported")
                 qt[tid] = np.frombuffer(seg[p:p + 64], np.uint8).astype(np.int32)
                 p += 64
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-            # SOF0/1 baseline, SOF2 progressive, SOF9/10 arithmetic
-            # sequential/progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 LOSSLESS (round 5),
+            # SOF9/10 arithmetic sequential/progressive
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
+            lossless = marker == 0xC3
             h, w = (int.from_bytes(seg[1:3], "big"),
                     int.from_bytes(seg[3:5], "big"))
-            if seg[0] != 8:
-                raise UnsupportedVariant("only 8-bit JPEG supported")
+            precision = seg[0]
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise UnsupportedVariant("lossless precision out of range")
+            elif precision != 8:
+                raise UnsupportedVariant("only 8-bit DCT JPEG supported")
             nc = seg[5]
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedVariant(
-                "lossless/hierarchical JPEG unsupported")
+                "hierarchical JPEG unsupported")
         elif marker == 0xCC:  # DAC — arithmetic conditioning
             p = 0
             while p + 1 < len(seg):
@@ -618,6 +747,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             smap = {}
             for c in range(ns):
                 smap[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+            if lossless:
+                pred_sel = seg[1 + 2 * ns]       # Ss = predictor 1-7
+                pt = seg[3 + 2 * ns] & 0xF       # Al = point transform
+                return _decode_lossless_scan(
+                    data, i + 2 + seg_len, comps, smap, huff, w, h,
+                    precision, dri, pred_sel, pt)
             if arith and not progressive:
                 return _decode_scan_arith(data, i + 2 + seg_len, w, h,
                                           comps, smap, qt, dri,

@@ -52,8 +52,9 @@ class UnsupportedCodec(NotImplementedError):
     pixel-format coverage, and round 5's full GIF support (87a/89a,
     interlaced, animated) plus the WebP-lossless (VP8L) decoder — all in
     functions/codecs.py, pinned by externally-produced files in
-    tests/external_fixtures/ — narrowed this seam to lossless/
-    hierarchical/12-bit JPEG and lossy VP8 WebP (no PIL/libav here).
+    tests/external_fixtures/ — plus round 5's SOF3 lossless JPEG, TIFF, and
+    AU/AIFF audio narrowed this seam to hierarchical/12-bit-DCT JPEG and
+    lossy VP8 WebP (no PIL/libav here).
     Replace by a full codec lib in deployment."""
 
 
@@ -74,8 +75,8 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
     features are encoding-invariant), real baseline, progressive,
     arithmetic AND progressive-arithmetic JPEGs (lossy: features match
     within tolerance), RAWGRAY 'videos' (stacked frames), PCM WAV audio,
-    plus lossless (SOF3) JPEG headers exercising the narrowed stub
-    seam."""
+    plus REAL lossless (SOF3) JPEGs (round 5 — exact decode) and
+    hierarchical (SOF5) headers exercising the narrowed stub seam."""
     if partitions is None:
         partitions = max(4, spark.sparkContext.defaultParallelism)
 
@@ -88,11 +89,16 @@ def synth_media(spark, n: int, partitions: int | None = None) -> DataFrame:
                 px = np.array([(i * 7 + p) % 251 for p in range(w * h)],
                               dtype=np.uint8).reshape(h, w)
                 if i % 11 == 10:
-                    if i % 16 == 0:
-                        # lossless header (SOF3): the remaining
+                    if i % 32 == 16:
+                        # REAL lossless JPEG (SOF3, round 5): predictor
+                        # rotates; decodes EXACTLY
+                        enc = codecs.encode_jpeg_lossless(
+                            px, predictor=1 + (i // 32) % 7)
+                    elif i % 16 == 0:
+                        # hierarchical header (SOF5): the remaining
                         # (narrowed) UnsupportedCodec seam
                         enc = codecs.encode_jpeg(px).replace(
-                            b"\xff\xc0", b"\xff\xc3", 1)
+                            b"\xff\xc0", b"\xff\xc5", 1)
                     elif i % 8 == 0:
                         # REAL progressive-arithmetic JPEG (round 4)
                         enc = codecs.encode_jpeg_progressive_arith(px)

@@ -244,10 +244,13 @@ def test_jpeg_deterministic_and_dispatch():
     assert np.array_equal(codecs.decode_image("JPEG", enc), codecs.decode_jpeg(enc))
 
 
-def test_jpeg_lossless_is_unsupported_variant():
+def test_jpeg_hierarchical_is_unsupported_variant():
+    """SOF3 lossless now really decodes (round 5,
+    test_jpeg_lossless_roundtrip_exact); hierarchical is the remaining
+    typed seam."""
     enc = bytearray(codecs.encode_jpeg(_img(8, 8)))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC3  # SOF3: lossless — the remaining seam
+    enc[i + 1] = 0xC5  # SOF5: hierarchical — the remaining seam
     with pytest.raises(codecs.UnsupportedVariant):
         codecs.decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
@@ -493,3 +496,33 @@ def test_au_aiff_decode_contracts():
     assert r2 == 8000 and np.array_equal(s2, s)
     with pytest.raises(KeyError):
         codecs.decode_audio("MP3", b"ID3")
+
+
+def test_jpeg_lossless_roundtrip_exact():
+    """SOF3 lossless JPEG (round 5): predictive Huffman coding decodes
+    EXACTLY — all 7 predictors, gray and RGB, 8-bit and 16-bit
+    precision; mislabeled or malformed lossless scans fail cleanly."""
+    rng = np.random.RandomState(4)
+    for shape, dt in [((13, 9), np.uint8), ((8, 21, 3), np.uint8),
+                      ((11, 7), np.uint16)]:
+        hi = 256 if dt == np.uint8 else 65536
+        img = rng.randint(0, hi, shape, dtype=dt)
+        for pred in range(1, 8):
+            got = codecs.decode_jpeg(
+                codecs.encode_jpeg_lossless(img, predictor=pred))
+            assert got.dtype == img.dtype and got.shape == img.shape
+            assert np.array_equal(got, img), (shape, dt, pred)
+    # a smooth image genuinely compresses under predictive coding
+    grad = np.add.outer(np.arange(64), np.arange(64)).astype(np.uint8)
+    assert len(codecs.encode_jpeg_lossless(grad)) < grad.size
+    # a baseline file relabeled SOF3 must error, not mis-decode: its scan
+    # header's Ss=0 is an invalid predictor
+    base = bytearray(codecs.encode_jpeg(_img(8, 8)))
+    base[base.index(b"\xff\xc0") + 1] = 0xC3
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(bytes(base))
+    # hierarchical stays the typed seam
+    hier = bytearray(codecs.encode_jpeg(_img(8, 8)))
+    hier[hier.index(b"\xff\xc0") + 1] = 0xC5
+    with pytest.raises(codecs.UnsupportedVariant, match="hierarchical"):
+        codecs.decode_jpeg(bytes(hier))

@@ -80,12 +80,13 @@ def test_image_features_real_decode(media):
     bad = [r for r in feats.values() if r["error"] is not None]
     n_audio = media.where(F.col("kind") == "audio").count()
     assert len(ok) + len(bad) == N - n_audio  # audio handled by audio_features
-    # lossless-JPEG rows hit the (narrowed) stub seam, not a job failure;
-    # progressive, arithmetic and progressive-arithmetic rows now REALLY
-    # decode (round 4)
+    # hierarchical-JPEG rows hit the (narrowed) stub seam, not a job
+    # failure; progressive, arithmetic, progressive-arithmetic (round 4)
+    # AND lossless SOF3 (round 5) rows now REALLY decode
     assert bad and all("UnsupportedCodec" in r["error"] for r in bad)
-    assert all("lossless" in r["error"] for r in bad)
-    assert all(r["media_id"] % 176 == 32 for r in bad)  # only the SOF3 rows
+    assert all("hierarchical" in r["error"] for r in bad)
+    assert all(r["media_id"] % 176 == 32 and r["media_id"] % 32 != 16
+               for r in bad)  # only the SOF5 rows
     jpeg_ids = {r["media_id"] for r in
                 media.where(F.col("codec") == "JPEG").select("media_id").collect()}
     # baseline AND progressive JPEG rows decode — lossy, so stats match
