@@ -508,6 +508,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 Gopher-signal completion: mean word length, symbol-word
+    fraction, bullet-line and ellipsis-line fractions."""
+    return textstats.gopher_signals(_t(spark, sf_dir, "documents"))
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_token_count(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "n_subtokens_est"
@@ -712,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
+        "gopher_signals": q_gopher_signals,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1356,6 +1363,43 @@ SELECT base.doc_id, dup_line_frac_e4,
        CAST(coalesce(floor(max_c * 10000.0 / n_bigrams), 0) AS BIGINT)
          AS top_bigram_frac_e4
 FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+"""
+
+    q["gopher_signals"] = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks,
+         list_filter(str_split(text, chr(10)),
+                     x -> length(trim(x)) > 0) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_toks,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS tok_chars,
+         len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...')
+                                    OR contains(x, chr(8230)))) AS sym,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             x -> regexp_matches(trim(x), '^[-*' || chr(8226) || ']'))) AS bullet,
+         len(list_filter(lines,
+             x -> regexp_matches(trim(x), '(\.\.\.|' || chr(8230) || ')$'))) AS ellipsis
+  FROM base
+)
+SELECT doc_id,
+       CAST(CASE WHEN n_toks = 0 THEN 0
+                 ELSE floor(tok_chars * 10000.0 / n_toks) END AS BIGINT)
+         AS mean_word_len_e4,
+       CAST(CASE WHEN n_toks = 0 THEN 0
+                 ELSE floor(sym * 10000.0 / n_toks) END AS BIGINT)
+         AS symbol_word_frac_e4,
+       CAST(CASE WHEN n_lines = 0 THEN 0
+                 ELSE floor(bullet * 10000.0 / n_lines) END AS BIGINT)
+         AS bullet_line_frac_e4,
+       CAST(CASE WHEN n_lines = 0 THEN 0
+                 ELSE floor(ellipsis * 10000.0 / n_lines) END AS BIGINT)
+         AS ellipsis_line_frac_e4
+FROM m
 """
 
     q["token_count"] = """

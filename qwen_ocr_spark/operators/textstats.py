@@ -309,6 +309,51 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def gopher_signals(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The remaining Gopher-style document-quality signals (round 5;
+    complements repetition_stats and with_quality_score):
+
+    * ``mean_word_len_e4``      — mean characters per whitespace token
+    * ``symbol_word_frac_e4``   — tokens containing '#' or ellipsis / tokens
+    * ``bullet_line_frac_e4``   — non-blank lines starting with a bullet
+                                  ('-', '*', '•') / lines
+    * ``ellipsis_line_frac_e4`` — non-blank lines ending with '...' or '…'
+
+    Gopher's corresponding filters: mean word length in [3,10], symbol
+    ratio < 0.1, bullet lines < 90%, ellipsis lines < 30%.  All pure
+    column expressions, e4-floored for exact oracle hashing; empty
+    documents emit zeros."""
+    t = F.col(text_col)
+    toks = F.when(F.length(F.trim(t)) == 0,
+                  F.array().cast("array<string>")) \
+            .otherwise(F.split(F.trim(t), r"\s+"))
+    n_toks = F.size(toks)
+    tok_chars = F.aggregate(F.transform(toks, lambda x: F.length(x)),
+                            F.lit(0), lambda acc, x: acc + x)
+    sym = F.size(F.filter(
+        toks, lambda x: x.contains("#") | x.contains("...")
+        | x.contains("…")))
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike(r"^[-*•]")))
+    ellipsis = F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")))
+
+    def frac_e4(num, den):
+        return F.when(den == 0, F.lit(0)).otherwise(
+            F.floor(num * 10000.0 / den)).cast("bigint")
+
+    return df.select(
+        F.col(id_col),
+        frac_e4(tok_chars, n_toks).alias("mean_word_len_e4"),
+        frac_e4(sym, n_toks).alias("symbol_word_frac_e4"),
+        frac_e4(bullet, n_lines).alias("bullet_line_frac_e4"),
+        frac_e4(ellipsis, n_lines).alias("ellipsis_line_frac_e4"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalization fingerprint: md5 of lower(collapse_ws(trim(text))) —
     the exact-dup key that survives whitespace/case jitter."""

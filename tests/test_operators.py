@@ -216,6 +216,32 @@ def test_repetition_stats_known_values(spark):
     assert (got[4]["dup_line_frac_e4"], got[4]["top_bigram_frac_e4"]) == (0, 0)
 
 
+def test_gopher_signals_known_values(spark):
+    """Round-5 Gopher-signal completion: crafted docs with known mean
+    word length, symbol fraction, bullet and ellipsis line fractions
+    (the sf corpus exercises only the mean — it has no bullets)."""
+    rows = [
+        (1, "aa bbbb cc\n- bullet one\n- bullet two\nplain line..."),
+        (2, "ok #tag word… four"),
+        (3, ""),
+    ]
+    got = {r["doc_id"]: r for r in textstats.gopher_signals(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ).collect()}
+    # doc 1: 11 tokens (aa bbbb cc - bullet one - bullet two plain line...)
+    # lines: 4 non-blank; 2 bullet; 1 ellipsis
+    assert got[1]["bullet_line_frac_e4"] == 5000
+    assert got[1]["ellipsis_line_frac_e4"] == 2500
+    # doc 2: 4 tokens (ok #tag word… four = 2+4+5+4 = 15 chars),
+    # 2 symbol-bearing (#tag, word…)
+    assert got[2]["symbol_word_frac_e4"] == 5000
+    assert got[2]["mean_word_len_e4"] == int(15 * 10000 / 4)
+    assert got[3] == got[3].__class__(doc_id=3, mean_word_len_e4=0,
+                                      symbol_word_frac_e4=0,
+                                      bullet_line_frac_e4=0,
+                                      ellipsis_line_frac_e4=0)
+
+
 def test_token_count_edges(docs):
     t = {r["doc_id"]: (r["n_tokens"], r["n_subtokens_est"])
          for r in textstats.with_token_count(docs).collect()}
