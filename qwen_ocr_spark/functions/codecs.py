@@ -16,8 +16,9 @@ the multimodal operators decode them FOR REAL instead of stubbing:
          conditioning, DAC segments): gray or YCbCr, any sampling
          factors incl. 4:2:0, restart intervals, tables read from the
          file, plus SOF3 LOSSLESS (round 5: predictive Huffman, all 7
-         predictors, 8/16-bit, exact); hierarchical and 12-bit-DCT raise
-         ``UnsupportedVariant``.
+         predictors, 8/16-bit, exact) and 12-bit extended-sequential
+         SOF1 (16-bit DQT entries, uint16 output); hierarchical and
+         12-bit progressive raise ``UnsupportedVariant``.
 * GIF  — 87a/89a complete (round 5): LSB-first LZW with 12-bit cap and
          deferred clear, global/local color tables, 4-pass interlacing,
          transparency, multi-frame animation with disposal 2/3 — decode
@@ -695,10 +696,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while p < len(seg):
                 prec, tid = seg[p] >> 4, seg[p] & 0xF
                 p += 1
-                if prec:
-                    raise UnsupportedVariant("16-bit quant tables unsupported")
-                qt[tid] = np.frombuffer(seg[p:p + 64], np.uint8).astype(np.int32)
-                p += 64
+                if prec:  # 16-bit entries (12-bit frames, round 5)
+                    qt[tid] = np.frombuffer(seg[p:p + 128],
+                                            ">u2").astype(np.int32)
+                    p += 128
+                else:
+                    qt[tid] = np.frombuffer(seg[p:p + 64],
+                                            np.uint8).astype(np.int32)
+                    p += 64
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0/1 baseline, SOF2 progressive, SOF3 LOSSLESS (round 5),
             # SOF9/10 arithmetic sequential/progressive
@@ -711,8 +716,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if lossless:
                 if not 2 <= precision <= 16:
                     raise UnsupportedVariant("lossless precision out of range")
-            elif precision != 8:
-                raise UnsupportedVariant("only 8-bit DCT JPEG supported")
+            elif precision == 12 and (progressive or arith):
+                raise UnsupportedVariant(
+                    "12-bit progressive/arithmetic JPEG unsupported")
+            elif precision not in (8, 12):
+                raise UnsupportedVariant("only 8/12-bit DCT JPEG supported")
             nc = seg[5]
             comps = []
             for c in range(nc):
@@ -759,7 +767,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                           cond_dc, cond_ac)
             if not progressive:
                 return _decode_scan(data, i + 2 + seg_len, w, h, comps, smap,
-                                    qt, huff, dri)
+                                    qt, huff, dri, precision)
             if not comps or not w or not h:
                 raise ValueError("JPEG scan before frame header")
             if coefs is None:
@@ -932,7 +940,8 @@ def _decode_prog_scan(data, pos, comps, smap, coefs, ss, se, ah, al,
     return j
 
 
-def _idct_assemble(coefs, comps, qt, w, h, hmax, vmax) -> np.ndarray:
+def _idct_assemble(coefs, comps, qt, w, h, hmax, vmax,
+                   precision: int = 8) -> np.ndarray:
     """Dequantize + IDCT the accumulated coefficient store and assemble
     the image (shared tail of the progressive path; the baseline path
     fuses this per block in _decode_scan)."""
@@ -948,16 +957,20 @@ def _idct_assemble(coefs, comps, qt, w, h, hmax, vmax) -> np.ndarray:
         plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
                           hmax // c["h"], axis=1)
         out.append(plane[:h, :w])
+    mx_val = (1 << precision) - 1
+    dt = np.uint8 if precision <= 8 else np.uint16
     if len(out) == 1:
-        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        return np.clip(np.round(out[0]), 0, mx_val).astype(dt)
+    half = float(1 << (precision - 1))
+    y, cb, cr = out[0], out[1] - half, out[2] - half
     rgb = np.stack([y + 1.402 * cr,
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, mx_val).astype(dt)
 
 
-def _decode_scan(data, pos, w, h, comps, smap, qt, huff, dri) -> np.ndarray:
+def _decode_scan(data, pos, w, h, comps, smap, qt, huff, dri,
+                 precision: int = 8) -> np.ndarray:
     if not comps or not w or not h:
         raise ValueError("JPEG scan before frame header")
     hmax = max(c["h"] for c in comps)
@@ -999,7 +1012,8 @@ def _decode_scan(data, pos, w, h, comps, smap, qt, huff, dri) -> np.ndarray:
                         k += 1
                     blk = np.zeros(64, np.float64)
                     blk[_ZIGZAG] = coefs * q
-                    px = _DCT.T @ blk.reshape(8, 8) @ _DCT + 128.0
+                    px = _DCT.T @ blk.reshape(8, 8) @ _DCT \
+                        + float(1 << (precision - 1))
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[ci][y0:y0 + 8, x0:x0 + 8] = px
@@ -1008,13 +1022,16 @@ def _decode_scan(data, pos, w, h, comps, smap, qt, huff, dri) -> np.ndarray:
         p = planes[ci]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out.append(p[:h, :w])
+    mx_val = (1 << precision) - 1
+    dt = np.uint8 if precision <= 8 else np.uint16
     if len(out) == 1:
-        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        return np.clip(np.round(out[0]), 0, mx_val).astype(dt)
+    half = float(1 << (precision - 1))
+    y, cb, cr = out[0], out[1] - half, out[2] - half
     rgb = np.stack([y + 1.402 * cr,
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, mx_val).astype(dt)
 
 
 class _BitWriter:
@@ -1168,6 +1185,90 @@ _AC_PROG_VALS = sorted({(r << 4) | s for r in range(16) for s in range(1, 11)}
                        | {n << 4 for n in range(15)} | {0xF0})
 _AC_PROG_BITS = [0] * 16
 _AC_PROG_BITS[8] = len(_AC_PROG_VALS)
+
+
+def encode_jpeg_12bit(img: np.ndarray, quality: int = 75) -> bytes:
+    """Extended-sequential (SOF1) 12-bit grayscale encoder (round 5):
+    16-bit DQT entries, level shift 2048, histogram-built canonical
+    Huffman tables (coefficient categories exceed the Annex-K tables'
+    range at 12 bits, so fixed standard tables cannot be used).
+    decode_jpeg returns uint16 within quantization tolerance."""
+    img = np.asarray(img)
+    if img.ndim != 2 or img.dtype != np.uint16:
+        raise ValueError("12-bit encoder takes grayscale uint16")
+    if int(img.max()) > 4095:
+        raise ValueError("12-bit samples must be < 4096")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    # the 8-bit Annex-K table scaled x16 into the 12-bit coefficient range
+    q = np.clip((_JPEG_QL * scale * 16 + 50) // 100, 1, 65535).astype(np.int32)
+    h, w = img.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img.astype(np.float64),
+                    ((0, ph - h), (0, pw - w)), mode="edge") - 2048.0
+    pred = 0
+    tokens: list[tuple[str, int, int]] = []
+    dc_hist: dict[int, int] = {}
+    ac_hist: dict[int, int] = {}
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            blk = _DCT @ padded[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] @ _DCT.T
+            zz = np.round(blk.reshape(64)[_ZIGZAG] / q[_ZIGZAG]).astype(int)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = _cat(diff)
+            tokens.append(("dc", s, diff))
+            dc_hist[s] = dc_hist.get(s, 0) + 1
+            run = 0
+            last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    tokens.append(("ac", 0xF0, 0))
+                    ac_hist[0xF0] = ac_hist.get(0xF0, 0) + 1
+                    run -= 16
+                s = _cat(v)
+                tokens.append(("ac", (run << 4) | s, v))
+                ac_hist[(run << 4) | s] = ac_hist.get((run << 4) | s, 0) + 1
+                run = 0
+            if last_nz < 63:
+                tokens.append(("ac", 0x00, 0))
+                ac_hist[0x00] = ac_hist.get(0x00, 0) + 1
+
+    def table(hist: dict[int, int]):
+        lengths = _huff_lengths(hist, 16)
+        bits = [0] * 16
+        for l in lengths.values():
+            bits[l - 1] += 1
+        vals = [s for _, s in sorted((l, s) for s, l in lengths.items())]
+        return bits, vals, _huff_codes(bits, vals)
+
+    dc_bits, dc_vals, dc_codes = table(dc_hist)
+    ac_bits, ac_vals, ac_codes = table(ac_hist)
+    bw = _BitWriter()
+    for kind, sym, v in tokens:
+        code, ln = (dc_codes if kind == "dc" else ac_codes)[sym]
+        bw.write(code, ln)
+        s = sym if kind == "dc" else sym & 0xF
+        if s:
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    dqt = bytes([0x10]) + b"".join(
+        int(x).to_bytes(2, "big") for x in q)
+    sof = bytes([12]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    dht = (bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+           + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC1, sof) + seg(0xC4, dht)
+            + seg(0xDA, sos) + bytes(bw.out) + b"\xff\xd9")
 
 
 def encode_jpeg_progressive(img: np.ndarray, quality: int = 75) -> bytes:

@@ -526,3 +526,29 @@ def test_jpeg_lossless_roundtrip_exact():
     hier[hier.index(b"\xff\xc0") + 1] = 0xC5
     with pytest.raises(codecs.UnsupportedVariant, match="hierarchical"):
         codecs.decode_jpeg(bytes(hier))
+
+
+def test_jpeg_12bit_extended_sequential():
+    """12-bit DCT JPEG (SOF1 + 16-bit DQT entries, round 5): decodes to
+    uint16 within quantization tolerance; relative error comparable to
+    the 8-bit path at the same quality; 12-bit progressive stays the
+    typed seam."""
+    rng = np.random.RandomState(6)
+    base = np.add.outer(np.linspace(0, 4095, 40), np.linspace(0, 300, 56))
+    img = np.clip(base + rng.normal(0, 30, base.shape), 0,
+                  4095).astype(np.uint16)
+    for qual in (50, 75, 95):
+        dec = codecs.decode_jpeg(codecs.encode_jpeg_12bit(img, qual))
+        assert dec.dtype == np.uint16 and dec.shape == img.shape
+        err = np.abs(dec.astype(np.int32) - img.astype(np.int32))
+        # scaled equivalent of the 8-bit path's lossy tolerance
+        assert err.mean() < 16 * 4 and err.max() < 16 * 16, (qual, err.max())
+    # deterministic bytes
+    assert codecs.encode_jpeg_12bit(img) == codecs.encode_jpeg_12bit(img)
+    # 12-bit progressive is rejected with a precise reason
+    enc = bytearray(codecs.encode_jpeg_12bit(img))
+    enc[enc.index(b"\xff\xc1") + 1] = 0xC2
+    with pytest.raises(codecs.UnsupportedVariant, match="12-bit"):
+        codecs.decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError):
+        codecs.encode_jpeg_12bit(np.zeros((4, 4), np.uint8))
