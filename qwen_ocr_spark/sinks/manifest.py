@@ -277,6 +277,34 @@ def clean_orphan_figures(spark: SparkSession, figures_path: str,
     return deleted
 
 
+def read_output(spark: SparkSession, out_path: str,
+                dedup: bool = False) -> DataFrame | None:
+    """The output table as consumers should read it (round 5).
+
+    Under the single-writer discipline the raw read is already correct:
+    resume makes retries exactly-once on the write side, and
+    ``reconcile_manifest`` backfills crash-window lineage.  ``dedup=True``
+    additionally enforces ONE row per url — deterministic min-run_id
+    winner — for tables that survived a SPLIT-BRAIN writer: two engines
+    racing one out_path each commit the same urls under different
+    run_ids (observed in round 5 while driving the crash harness — a
+    wrapper-level kill left an orphaned JVM racing its own retry).  The
+    rows are byte-identical per url (extraction is deterministic), so
+    any winner is correct; min run_id makes reads reproducible.  Costs a
+    url-keyed window over the table — keep the single-writer discipline
+    and the cheap default in production."""
+    try:
+        df = spark.read.parquet(out_path)
+    except AnalysisException:
+        return None
+    if not dedup:
+        return df
+    from pyspark.sql import Window
+    w = Window.partitionBy("url").orderBy("run_id")
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1).drop("_rn"))
+
+
 def committed_urls(spark: SparkSession, out_path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(out_path).select("url")

@@ -198,6 +198,26 @@ def test_write_figures_run_scoped_and_crash_invisible(spark, pages, out, tmp_pat
     assert read_figures(spark, str(tmp_path / "nope"), man_path) is None
 
 
+def test_read_output_split_brain_dedup(spark, out, tmp_path):
+    """Round-5: two writers racing one out_path (the orphaned-JVM
+    scenario) commit the same urls under different run_ids — the raw
+    read shows duplicates, read_output(dedup=True) restores one row per
+    url with the deterministic min-run_id winner; missing path → None."""
+    from qwen_ocr_spark.sinks.manifest import read_output
+    out_path = str(tmp_path / "out")
+    man_path = str(tmp_path / "manifest")
+    write_output(out, out_path, man_path, "run-a")
+    write_output(out, out_path, man_path, "run-b")  # split-brain twin
+    raw = read_output(spark, out_path)
+    n_urls = raw.select("url").distinct().count()
+    assert raw.count() == 2 * n_urls
+    fixed = read_output(spark, out_path, dedup=True)
+    assert fixed.count() == n_urls
+    assert {r["run_id"] for r in fixed.select("run_id").distinct().collect()} \
+        == {"run-a"}
+    assert read_output(spark, str(tmp_path / "nope")) is None
+
+
 def test_clean_orphan_figures_janitor(spark, out, tmp_path):
     """Round-5 janitor: orphan figure run_id directories (no manifest
     lineage) older than the age threshold are deleted; committed
