@@ -441,6 +441,15 @@ def q_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify_pairs(docs, cands, threshold=0.8)
 
 
+def q_dedup_groups_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_groups in its corpus-scale mode (round 5): MinHash-LSH
+    candidates -> exact Jaccard verify -> connected components.  Same
+    exact recursive-closure oracle shape as dedup_groups, over the
+    verified pair set."""
+    return dedup.duplicate_groups(_docs2(spark, sf_dir), threshold=0.8,
+                                  candidates="lsh")
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: capped-jaccard pairs → connected components →
     min-id representative per group (is_keep).  Exactly oracled via a
@@ -710,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_groups": q_dedup_groups,
+        "dedup_groups_scalable": q_dedup_groups_scalable,
         "ngram_jaccard": q_ngram_jaccard,
         "jaccard_verified": q_jaccard_verified,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1103,6 +1113,39 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE floor(inter * 10000.0 / (sa.n_shingles + sb.n_shingles - inter)) >= 8000
+"""
+
+    q["dedup_groups_scalable"] = f"""
+WITH RECURSIVE {_DOCS2},
+{_minhash_slots_sql('docs2')},
+banded AS ({band_selects}),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM banded l JOIN banded r ON l.band_key = r.band_key
+         WHERE l.doc_id < r.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE floor(inter * 10000.0 / (sa.n_shingles + sb.n_shingles - inter)) >= 8000
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+)
+SELECT node AS doc_id, min(reach) AS group_id,
+       (node = min(reach)) AS is_keep
+FROM walk GROUP BY node
 """
 
     q["simhash"] = f"""

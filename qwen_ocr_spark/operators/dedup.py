@@ -384,16 +384,36 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
 def duplicate_groups(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", threshold: float = 0.8,
                      max_df: int | None = MAX_SHINGLE_DF,
+                     candidates: str = "all-pairs",
                      storage: list | None = None) -> DataFrame:
     """End-to-end near-dup clustering: n-gram Jaccard pairs above
     ``threshold`` → connected components → one row per clustered document
     ``(doc_id, group_id, is_keep)`` with the min-id representative marked.
     Documents with no near-dup partner don't appear (they are all keeps).
     ``storage`` receives the persisted shingle intermediate (see
-    ``ngram_jaccard_pairs``)."""
-    pairs = ngram_jaccard_pairs(df, id_col, text_col,
-                                threshold=threshold, max_df=max_df,
-                                storage=storage)
+    ``ngram_jaccard_pairs``).
+
+    ``candidates="lsh"`` (round 5) swaps the all-pairs co-shingle join
+    for the corpus-scale composition: MinHash-LSH proposes candidate
+    pairs sub-quadratically, exact Jaccard verifies only those
+    (``jaccard_verify_pairs`` — linear in candidates, independent of
+    shingle document frequencies; the sf1 scale check measured the
+    all-pairs join's quadratic df-densification regime).  On the bench
+    corpus both modes return the identical pair set and therefore the
+    identical clustering."""
+    if candidates == "lsh":
+        cands = lsh_candidate_pairs(
+            minhash_signatures(word_shingles(df, id_col, text_col,
+                                             distinct=False)),
+            id_col=id_col, storage=storage)
+        pairs = jaccard_verify_pairs(df, cands, id_col, text_col,
+                                     threshold=threshold, storage=storage)
+    elif candidates == "all-pairs":
+        pairs = ngram_jaccard_pairs(df, id_col, text_col,
+                                    threshold=threshold, max_df=max_df,
+                                    storage=storage)
+    else:
+        raise ValueError(f"unknown candidates mode {candidates!r}")
     cc = connected_components(pairs)
     return cc.select(
         F.col("node").alias(id_col),
