@@ -23,8 +23,11 @@ JPEGs) and are checked into tests/external_fixtures/:
 Pixel md5s below are regression pins recorded from this decoder AFTER the
 structural validation above (dims exact, streams fully consumed, no
 desync across half a megabyte of foreign LZW); arithmetic JPEG, Adam7
-PNG, and qpdf-produced LZW/encrypted PDFs have no external producer in
-this container and remain covered by round-trip + FIPS-197/T.81 pins.
+PNG, qpdf-produced LZW/encrypted PDFs, and VP8L's transform layer
+(the ALPH pin exercises the entropy layer — prefix codes, LZ77,
+distance map — but no external file here carries VP8L predictor/color
+transforms) have no external producer in this container and remain
+covered by round-trip + FIPS-197/T.81 pins.
 """
 
 import hashlib
