@@ -435,10 +435,14 @@ def q_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^12 documents; the all-pairs ngram_jaccard query above is the
     exact bounded-relation baseline (and showed the expected quadratic
     df-densification regime at the sf1 scale check)."""
+    from qwen_ocr_spark.plans.session import track_cached
     docs = _docs2(spark, sf_dir)
-    cands = dedup.lsh_candidate_pairs(dedup.minhash_signatures(
-        dedup.word_shingles(docs, distinct=False)))
-    return dedup.jaccard_verify_pairs(docs, cands, threshold=0.8)
+    # one persisted exploded-shingle relation feeds both the MinHash
+    # aggregate and the verify sets (round 6)
+    sh = track_cached(dedup.word_shingles(docs, distinct=False).persist())
+    cands = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh))
+    return dedup.jaccard_verify_pairs(docs, cands, threshold=0.8,
+                                      shingles=sh)
 
 
 def q_dedup_groups_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1408,7 +1412,7 @@ SELECT base.doc_id, dup_line_frac_e4,
 FROM base LEFT JOIN top ON base.doc_id = top.doc_id
 """
 
-    q["gopher_signals"] = """
+    q["gopher_signals"] = r"""
 WITH base AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]

@@ -42,6 +42,9 @@ MINHASH_BANDS = 4  # 2 slots per band
 SHINGLE_N = 3
 MAX_SHINGLE_DF = 256  # default document-frequency cap for the jaccard join
 SIMHASH_RADIUS = 3    # default hamming radius; 4 chunks of 8 bits
+_BITMAP_WORDS = 16    # 16 x 64 = 1024-bit hashed doc bitmaps (jaccard
+                      # pre-filter; exactness does not depend on the width,
+                      # only pruning power does)
 
 
 def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -238,7 +241,8 @@ def jaccard_verify_pairs(df: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id", text_col: str = "text",
                          n: int = SHINGLE_N, threshold: float = 0.8,
                          persist: bool = True,
-                         storage: list | None = None) -> DataFrame:
+                         storage: list | None = None,
+                         shingles: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY on candidate pairs — the
     production near-dup composition at corpus scale (round 5): a
     sub-quadratic candidate generator (MinHash-LSH / SimHash) proposes
@@ -256,25 +260,33 @@ def jaccard_verify_pairs(df: DataFrame, pairs: DataFrame,
 
     Candidates with zero shared shingles simply drop out (they cannot
     reach any positive threshold).  Output: (id_a, id_b, jaccard_e4) for
-    pairs at/above threshold — same contract as ngram_jaccard_pairs."""
-    sh = word_shingles(df, id_col, text_col, n)
+    pairs at/above threshold — same contract as ngram_jaccard_pairs.
+
+    Round-6 shape: one ``collect_set`` aggregate builds each doc's
+    distinct-shingle set (so the explode needs no separate distinct
+    shuffle, and callers may pass a NON-distinct ``shingles`` relation),
+    and the verify is ``size(array_intersect)`` per candidate pair — two
+    joins that move |candidates| rows instead of re-shuffling the full
+    shingle relation twice.  ``inter >= 1`` preserves the old inner-join
+    semantics (zero-overlap candidates drop out even at threshold 0).
+    Pass ``shingles`` (any (id_col, shingle) relation, duplicates OK) to
+    reuse an exploded relation the caller already computed — the
+    LSH-candidates + verify composition computes shingles once that way."""
+    if shingles is None:
+        shingles = word_shingles(df, id_col, text_col, n, distinct=False)
+    arr = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("_set"))
     if persist:
-        sh = track_cached(sh.persist(), storage)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    cand = pairs.select("id_a", "id_b")
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, on="id_a")
-        .join(b, on=["id_b", "shingle"])
-        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"),
-                      F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"),
-                      F.col("n_shingles").alias("size_b"))
+        arr = track_cached(arr.persist(), storage)
+    aa = arr.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_seta"))
+    ab = arr.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_setb"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        pairs.select("id_a", "id_b")
+        .join(aa, "id_a").join(ab, "id_b")
+        .withColumn("inter",
+                    F.size(F.array_intersect("_seta", "_setb")).cast("bigint"))
+        .withColumn("size_a", F.size("_seta").cast("bigint"))
+        .withColumn("size_b", F.size("_setb").cast("bigint"))
+        .where(F.col("inter") >= 1)
         .withColumn(
             "jaccard_e4",
             F.floor(
@@ -402,12 +414,17 @@ def duplicate_groups(df: DataFrame, id_col: str = "doc_id",
     corpus both modes return the identical pair set and therefore the
     identical clustering."""
     if candidates == "lsh":
-        cands = lsh_candidate_pairs(
-            minhash_signatures(word_shingles(df, id_col, text_col,
-                                             distinct=False)),
-            id_col=id_col, storage=storage)
+        # ONE persisted exploded-shingle relation feeds both the MinHash
+        # aggregate and the verify sets (round 6): the text split/explode
+        # is the widest scan in the composition and runs once this way
+        sh = track_cached(
+            word_shingles(df, id_col, text_col, distinct=False).persist(),
+            storage)
+        cands = lsh_candidate_pairs(minhash_signatures(sh, id_col=id_col),
+                                    id_col=id_col, storage=storage)
         pairs = jaccard_verify_pairs(df, cands, id_col, text_col,
-                                     threshold=threshold, storage=storage)
+                                     threshold=threshold, storage=storage,
+                                     shingles=sh)
     elif candidates == "all-pairs":
         pairs = ngram_jaccard_pairs(df, id_col, text_col,
                                     threshold=threshold, max_df=max_df,
@@ -522,54 +539,144 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         storage: list | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above threshold.
 
-    inter(a,b) via a shingle-key equi-join; |A|,|B| via per-doc counts;
-    J = inter / (|A| + |B| - inter).  Only co-shingled pairs materialize,
-    and shingles with document frequency > ``max_df`` are dropped first
-    (both from intersections AND sizes — the oracle mirrors this), which
-    bounds the join at max_df * |shingle rows| instead of sum(df^2).
+    Round-6 shape: prefix filtering (AllPairs/PPJoin, Bayardo et al. 2007;
+    Xiao et al. 2008) instead of the naive co-shingle self-join.  The
+    naive join emits one row per co-occurrence — sum over shingles of
+    df^2 — and on the dense bench corpus at sf1.0 that was measured at
+    154M join rows feeding a 138M-distinct-key aggregate for an 8.1k-row
+    answer.  Three provably lossless pair filters cut that to ~2.9M
+    candidates (47x) before any aggregation:
 
-    The capped shingle relation feeds three consumers (sizes + both join
-    sides); ``persist=True`` caches it MEMORY_AND_DISK so the explode +
-    distinct + df-filter runs once instead of three times (3x measured at
-    sf0.1).  A long-lived session should release that storage explicitly
-    once the result is materialized: pass a list as ``storage`` and the
-    persisted intermediate is appended to it for the caller to
-    ``unpersist()`` (LRU eviction is the only backstop otherwise)."""
+    * prefix — order each doc's shingles canonically by (global df,
+      shingle); two docs with J >= t MUST share a shingle within their
+      first ``sz - ceil(t*sz) + 1`` shingles, so only those prefix rows
+      enter the self-join;
+    * size — J >= t implies 10000*min(|A|,|B|) >= t_e4*max(|A|,|B|);
+    * positional — at the first common prefix shingle (positions pa, pb)
+      the overlap is bounded by 1 + min(|A|-pa, |B|-pb), which must reach
+      ceil(t/(1+t) * (|A|+|B|)); a pair is kept when ANY matching row
+      passes, so the filter only ever removes non-qualifying pairs.
+
+    All three are integer arithmetic on ``t_e4 = int(threshold*10000)`` —
+    exactly the final filter's threshold — so the candidate set is a
+    strict superset of the answer and the exact verify restores equality.
+    Verification intersects per-doc shingle-id arrays
+    (``size(array_intersect)``) instead of re-joining the full shingle
+    relation: int arrays, one row per candidate pair.  Shingles ride as
+    dense int ids (row_number over the distinct-shingle relation, which
+    the df-cap aggregate produces anyway) so every join key and array
+    element after the first aggregate is an int, not a 3-word string.
+
+    ``max_df`` cap semantics are unchanged: shingles above the cap drop
+    from intersections AND sizes (the oracle mirrors this).  The ranked
+    shingle relation feeds two consumers (prefix + arrays);
+    ``persist=True`` caches it.  Pass a list as ``storage`` to receive
+    persisted handles for explicit ``unpersist()``.
+
+    Scale notes (100 TB): the shingle-id window runs over the distinct-
+    shingle relation (vocabulary-sized, not corpus-sized); the per-doc
+    rank window shuffles (id, sid, df) ints once; the array relation is
+    |docs| rows of ~|shingles/doc| ints and is broadcast here — a
+    corpus-scale deployment would bucket it by id instead (the candidate
+    relation is already int pairs, so either side of that join is
+    cheap)."""
+    t_e4 = int(threshold * 10000)
     sh = word_shingles(df, id_col, text_col, n)
+    dft = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     if max_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-              .agg(F.count("*").alias("df"))
-              .where(F.col("df") <= max_df)
-              .select("shingle")
-        )
-        sh = sh.join(keep, on="shingle")
-    if persist:
-        sh = track_cached(sh.persist(), storage)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    l, r = sh.alias("l"), sh.alias("r")
-    inter = (
-        l.join(r, on="shingle")
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
-        .agg(F.count("*").alias("inter"))
+        dft = dft.where(F.col("_df") <= max_df)
+    # dense int ids over the (vocabulary-sized) distinct-shingle relation;
+    # ordering by shingle makes (_df, _sid) the same canonical total order
+    # as (_df, shingle)
+    sids = dft.select(
+        "shingle", "_df",
+        F.row_number().over(Window.orderBy("shingle")).alias("_sid"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
-    # sizes are per-doc aggregates: small relative to the shingle join —
-    # AQE promotes these to broadcast when they fit
+    shk = sh.join(sids, on="shingle").select(id_col, "_sid", "_df")
+    w_doc = Window.partitionBy(id_col)
+    shr = shk.select(
+        F.col(id_col),
+        F.col("_sid"),
+        F.row_number().over(w_doc.orderBy("_df", "_sid")).alias("_rn"),
+        F.count("*").over(w_doc).alias("_sz"),
+    )
+    if persist:
+        shr = track_cached(shr.persist(), storage)
+    # per-doc verify structures from ONE aggregate over shr:
+    # * _set  — the shingle-id array (exact verify via array_intersect);
+    # * _bm0.._bm{W-1} — a 64*W-bit hashed bitmap of the id set (codegen'd
+    #   bit_or aggregate) for the pre-filter below;
+    # * _coll — EXACT per-doc bitmap collision count (sz - popcount(own
+    #   bitmap)): collisions within A∩B are collisions within A and
+    #   within B, so inter <= popcount(bmA & bmB) + min(collA, collB) —
+    #   a provable upper bound, hence pruning on it is lossless.
+    nwords = _BITMAP_WORDS
+    bm_aggs = [
+        F.expr(
+            f"bit_or(CASE WHEN ((_sid % {64 * nwords}) div 64) = {k} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), _sid % 64) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        ).alias(f"_bm{k}")
+        for k in range(nwords)
+    ]
+    popc = sum(F.bit_count(F.col(f"_bm{k}")) for k in range(nwords))
+    arr = (
+        shr.groupBy(id_col)
+        .agg(F.collect_list("_sid").alias("_set"), *bm_aggs)
+        .withColumn("_coll", (F.size("_set") - popc).cast("bigint"))
+    )
+    bm_cols = [f"_bm{k}" for k in range(nwords)] + ["_coll"]
+    bmr = arr.select(F.col(id_col), *bm_cols)
+
+    # prefix length: sz - ceil(t*sz) + 1, exact integer ceil on t_e4
+    pfx = shr.where(
+        F.col("_rn") <= F.col("_sz")
+        - F.expr(f"(_sz * {t_e4} + 9999) div 10000") + 1
+    ).join(F.broadcast(bmr), on=id_col)
+    l, r = pfx.alias("l"), pfx.alias("r")
+    la, ra = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    lsz, rsz = F.col("l._sz"), F.col("r._sz")
+    # overlap upper bound at this matching position (PPJoin positional
+    # filter); alpha = ceil(t/(1+t) * (sa+sb)) -> cross-multiplied
+    ubound = F.lit(1) + F.least(lsz - F.col("l._rn"), rsz - F.col("r._rn"))
+    # hashed-bitmap overlap bound: inter <= popcount(AND) + min(coll) —
+    # ~20 codegen'd ops per joined row, so almost no non-qualifying pair
+    # survives to the distinct or the (slow, per-row-allocating)
+    # array_intersect.  All three structural filters plus this one are
+    # lossless supersets of the true answer; the exact verify restores
+    # equality.
+    hash_inter = sum(
+        F.bit_count(F.col(f"l._bm{k}").bitwiseAND(F.col(f"r._bm{k}")))
+        for k in range(nwords)
+    )
+    bm_bound = hash_inter + F.least(F.col("l._coll"), F.col("r._coll"))
+    cands = (
+        l.join(r, on="_sid")
+        .where(
+            (la < ra)
+            & (10000 * F.least(lsz, rsz) >= t_e4 * F.greatest(lsz, rsz))
+            & ((10000 + t_e4) * ubound >= t_e4 * (lsz + rsz))
+            & ((10000 + t_e4) * bm_bound >= t_e4 * (lsz + rsz))
+        )
+        .select(la.alias("id_a"), ra.alias("id_b"),
+                lsz.alias("_sa"), rsz.alias("_sb"))
+        .distinct()
+    )
+    aa = arr.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_seta"))
+    ab = arr.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_setb"))
+    inter = F.size(F.array_intersect("_seta", "_setb")).cast("bigint")
+    # candidates share >= 1 shingle by construction, so the denominator is
+    # always positive (no ANSI /0)
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        cands.join(F.broadcast(aa), "id_a").join(F.broadcast(ab), "id_b")
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard_e4",
             F.floor(
                 F.col("inter") * 10000.0
-                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+                / (F.col("_sa") + F.col("_sb") - F.col("inter"))
             ).cast("bigint"),
         )
-        .where(F.col("jaccard_e4") >= int(threshold * 10000))
+        .where(F.col("jaccard_e4") >= t_e4)
         .select("id_a", "id_b", "jaccard_e4")
     )

@@ -64,24 +64,36 @@ def cosine(a, b):
 
 
 def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dims: int = 64) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (excluding self).
 
     Output: (query_id, neighbor_id, score_e6 bigint, rank int) — the score
     is floor(cosine * 1e6) so value-hash comparison against the SQL oracle
-    is exact."""
-    q = (
-        emb.where(F.col(id_col).isin(query_ids))
-           .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    )
+    is exact.
+
+    Round 6: scoring runs through the unrolled codegen'd product-sum over
+    pre-extracted element columns (``_unrolled_cosine_e6``) instead of the
+    interpreted ``zip_with``/``aggregate`` fold — same left-to-right float
+    sequence bit-for-bit (the round-2 HOF gotcha: interpreted lambdas cost
+    ~5x; measured 3.7 s -> sub-second on the 20k x 5 crossJoin at sf1.0).
+    Trailing ``coalesce(get(v, d), 0.0)`` pads shorter vectors with exact
+    ``+ 0.0`` terms, which cannot change any IEEE sum."""
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        *[F.coalesce(F.get(F.col(vec_col), d), F.lit(0.0)).alias(f"_q{d}")
+          for d in range(dims)])
+    nb = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.coalesce(F.get(F.col(vec_col), d), F.lit(0.0)).alias(f"_n{d}")
+          for d in range(dims)])
     joined = (
         F.broadcast(q)  # queries are a handful of rows — broadcast always
-        .crossJoin(emb.select(F.col(id_col).alias("neighbor_id"),
-                              F.col(vec_col).alias("nv")))
+        .crossJoin(nb)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.floor(cosine(F.col("qv"), F.col("nv")) * 1e6).cast("bigint").alias("score_e6"),
+            _unrolled_cosine_e6("_q", "_n", dims).alias("score_e6"),
         )
         .where(F.col("score_e6").isNotNull())
     )

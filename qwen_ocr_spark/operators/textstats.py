@@ -329,8 +329,11 @@ def gopher_signals(df: DataFrame, id_col: str = "doc_id",
                   F.array().cast("array<string>")) \
             .otherwise(F.split(F.trim(t), r"\s+"))
     n_toks = F.size(toks)
-    tok_chars = F.aggregate(F.transform(toks, lambda x: F.length(x)),
-                            F.lit(0), lambda acc, x: acc + x)
+    # sum of token lengths == chars of trim(text) with every \s removed:
+    # tokens are exactly the maximal non-\s runs of trim(text).  Pure
+    # length arithmetic stays in codegen where the round-5 aggregate/
+    # transform lambda fold was interpreted per element (round-2 gotcha).
+    tok_chars = F.length(F.regexp_replace(F.trim(t), r"\s", ""))
     sym = F.size(F.filter(
         toks, lambda x: x.contains("#") | x.contains("...")
         | x.contains("…")))
