@@ -226,7 +226,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15 00:00:00")
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15 00:00:00")
-    j = li.join(o, li.l_orderkey == o.o_orderkey).join(c, o.o_custkey == c.c_custkey)
+    # join ORDER matters (round 6): reduce orders by the selective customer
+    # broadcast BEFORE the orders<->lineitem equi-join, so the orderkey
+    # exchange moves ~1/5 of the orders rows instead of all of them (guide
+    # §2.3 "shuffle fewer bytes" / §3.1); same row multiset either way
+    j = o.join(c, o.o_custkey == c.c_custkey).join(li, o.o_orderkey == li.l_orderkey)
     return (
         j.groupBy("l_orderkey",
                   F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -249,12 +253,22 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < "1997-01-01 00:00:00")
     )
     li = _t(spark, sf_dir, "lineitem")
-    j = (
-        c.join(o, c.c_custkey == o.o_custkey)
-         .join(li, o.o_orderkey == li.l_orderkey)
-         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-         .join(n, s.s_nationkey == n.n_nationkey)
-         .join(r, n.n_regionkey == r.r_regionkey)
+    # join ORDER matters (round 6): restrict supplier to the ASIA nations
+    # first (region -> nation -> supplier are all broadcast-sized dims) and
+    # broadcast THAT into lineitem, so the only big exchange — lineitem by
+    # l_orderkey for the merge join with orders — carries ~1/5 of the rows.
+    # Semantically identical: every lineitem row dropped here would have
+    # been dropped by the same n/r joins after the fact (n_nationkey and
+    # r_regionkey are unique keys).  The c_nationkey == s_nationkey leg
+    # moves onto the orderkey join, where both sides are already reduced.
+    sn = s.join(n, s.s_nationkey == n.n_nationkey) \
+          .join(r, n.n_regionkey == r.r_regionkey)
+    lis = li.join(sn, li.l_suppkey == sn.s_suppkey)
+    co = c.join(o, c.c_custkey == o.o_custkey)
+    j = co.join(
+        lis,
+        (co.o_orderkey == lis.l_orderkey)
+        & (co.c_nationkey == lis.s_nationkey),
     )
     return j.groupBy("n_name").agg(
         F.sum(_e(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
@@ -437,12 +451,16 @@ def q_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-densification regime at the sf1 scale check)."""
     from qwen_ocr_spark.plans.session import track_cached
     docs = _docs2(spark, sf_dir)
-    # one persisted exploded-shingle relation feeds both the MinHash
-    # aggregate and the verify sets (round 6)
-    sh = track_cached(dedup.word_shingles(docs, distinct=False).persist())
-    cands = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh))
+    # deterministic-only persisted intermediates (round 6): min()-slot
+    # signatures for the band self-join, expression-built per-doc sets
+    # for the verify — collect_set is flagged non-deterministic and a
+    # cached plan containing it is re-run by every join consumer
+    sigs = track_cached(dedup.minhash_signatures(
+        dedup.word_shingles(docs, distinct=False)).persist())
+    cands = dedup.lsh_candidate_pairs(sigs)
+    sets = track_cached(dedup.doc_shingle_sets(docs).persist())
     return dedup.jaccard_verify_pairs(docs, cands, threshold=0.8,
-                                      shingles=sh)
+                                      doc_sets=sets)
 
 
 def q_dedup_groups_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:

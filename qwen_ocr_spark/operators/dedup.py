@@ -110,22 +110,50 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     indices — stays in codegen.
 
     ``distinct=True`` (the default) dedups (doc, shingle) — required by
-    set semantics (n-gram Jaccard).  Pass ``distinct=False`` for
-    duplicate-insensitive consumers (MinHash's per-slot ``min`` gives the
-    same answer either way): the distinct is a full shuffle of the WIDEST
-    relation in the dedup family (every shingle string), and skipping it
-    lets the explode feed a map-side-combining aggregate directly — at
-    corpus scale that removes the single largest shuffle in the minhash
-    pipeline."""
+    set semantics (n-gram Jaccard).  The dedup is PER DOCUMENT, and a
+    document's shingles all live in one array before the explode, so it
+    runs as ``array_distinct`` on that array — zero shuffles (round 6;
+    previously a ``.distinct()`` after the explode, a full exchange of
+    every shingle string — the widest relation in the dedup family).
+    Pass ``distinct=False`` for duplicate-insensitive consumers
+    (MinHash's per-slot ``min`` gives the same answer either way) to skip
+    even the per-row dedup work."""
+    shingles = _shingle_array(text_col, n)
+    if distinct:
+        shingles = F.array_distinct(shingles)
+    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+
+
+def _shingle_array(text_col: str, n: int = SHINGLE_N):
+    """Column expression: the document's word n-gram array (with
+    duplicates, in text order) — pure codegen'd expressions."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
-    shingles = F.transform(
+    return F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )
-    out = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-    return out.distinct() if distinct else out
+
+
+def doc_shingle_sets(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """Per-document distinct-shingle ARRAY — ``(id_col, _set)`` — built
+    entirely from deterministic row-local expressions (split → transform →
+    array_distinct): no explode, no shuffle, no aggregate.
+
+    This matters beyond the saved shuffle (round 6): ``collect_set`` /
+    ``collect_list`` are flagged non-deterministic, and Spark will NOT
+    reuse a cached relation whose plan contains a non-deterministic
+    expression when it appears under a join — each join side silently
+    re-runs the whole aggregate (measured: a persisted
+    collect_set-bearing MinHash aggregate re-ran its full 12 s-CPU
+    pipeline on BOTH sides of the LSH band self-join at sf1, every
+    action, despite 32/32 cached partitions).  An expression-only set
+    relation caches and reuses cleanly."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(_shingle_array(text_col, n)).alias("_set"))
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
@@ -153,12 +181,21 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     the text) so the upstream scan → shingle explode → min-agg runs once
     instead of twice — the same one-relation-both-sides shape the banded
     ANN join uses (similarity.banded_buckets).  Pass a list as ``storage``
-    to receive the persisted intermediate for explicit ``unpersist()``."""
+    to receive the persisted intermediate for explicit ``unpersist()``.
+
+    Band keys are BINARY — one band-index byte plus ``unhex`` of each
+    md5-hex slot (fixed 1+16n bytes) — instead of the round-5 pipe-joined
+    hex string (~70 chars): hex↔binary is bijective and every part is
+    fixed-width, so key equality (and therefore the candidate pair set)
+    is IDENTICAL, while the sort-merge join sorts/compares half the bytes
+    — measured 0.94 s → 0.38 s on the 220k-row self-join at sf1 (guide
+    §2.3 "narrower types"; round 6)."""
     rows_per_band = slots // bands
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.concat_ws("|", F.lit(str(b)), *parts).alias(f"band{b}"))
+        parts = [F.unhex(F.col(f"mh{i}"))
+                 for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.concat(F.lit(bytes([b])), *parts).alias(f"band{b}"))
     banded = sigs.select(F.col(id_col), *band_cols)
     stacked = banded.select(
         F.col(id_col),
@@ -242,7 +279,8 @@ def jaccard_verify_pairs(df: DataFrame, pairs: DataFrame,
                          n: int = SHINGLE_N, threshold: float = 0.8,
                          persist: bool = True,
                          storage: list | None = None,
-                         shingles: DataFrame | None = None) -> DataFrame:
+                         shingles: DataFrame | None = None,
+                         doc_sets: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY on candidate pairs — the
     production near-dup composition at corpus scale (round 5): a
     sub-quadratic candidate generator (MinHash-LSH / SimHash) proposes
@@ -269,19 +307,35 @@ def jaccard_verify_pairs(df: DataFrame, pairs: DataFrame,
     joins that move |candidates| rows instead of re-shuffling the full
     shingle relation twice.  ``inter >= 1`` preserves the old inner-join
     semantics (zero-overlap candidates drop out even at threshold 0).
-    Pass ``shingles`` (any (id_col, shingle) relation, duplicates OK) to
-    reuse an exploded relation the caller already computed — the
-    LSH-candidates + verify composition computes shingles once that way."""
-    if shingles is None:
-        shingles = word_shingles(df, id_col, text_col, n, distinct=False)
-    arr = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("_set"))
-    if persist:
-        arr = track_cached(arr.persist(), storage)
+    The per-doc sets come from :func:`doc_shingle_sets` — row-local
+    deterministic expressions, NO collect_set aggregate (round 6: a
+    persisted collect_set plan is silently re-run by every join consumer
+    because collect aggregates are flagged non-deterministic; see
+    doc_shingle_sets).  Pass ``doc_sets`` (an ``(id_col, _set)``
+    relation, ideally already persisted) to share one set relation
+    across a larger composition.  ``shingles`` is accepted for backward
+    compatibility and ignored — the sets no longer need an exploded
+    relation."""
+    del shingles  # legacy parameter; sets are built from the text column
+    if doc_sets is not None:
+        arr = doc_sets
+    else:
+        arr = doc_shingle_sets(df, id_col, text_col, n)
+        if persist:
+            arr = track_cached(arr.persist(), storage)
     aa = arr.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_seta"))
     ab = arr.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_setb"))
+    # broadcast the CANDIDATE side and stream the per-doc set relation:
+    # candidates are the small relation by construction (that is the point
+    # of LSH), and the set relation carries the wide arrays — joining the
+    # other way round exchanges the arrays (a cached AQE plan reports
+    # UnknownPartitioning, so the planner re-shuffled both sides; measured
+    # 2 x ~0.5 s at sf1, round 6).  j1 is candidate-sized, so the second
+    # hop broadcasts it too.  A corpus whose candidate relation outgrows
+    # broadcast would bucket both relations by id instead.
+    j1 = aa.join(F.broadcast(pairs.select("id_a", "id_b")), "id_a")
     return (
-        pairs.select("id_a", "id_b")
-        .join(aa, "id_a").join(ab, "id_b")
+        ab.join(F.broadcast(j1), "id_b")
         .withColumn("inter",
                     F.size(F.array_intersect("_seta", "_setb")).cast("bigint"))
         .withColumn("size_a", F.size("_seta").cast("bigint"))
@@ -414,17 +468,22 @@ def duplicate_groups(df: DataFrame, id_col: str = "doc_id",
     corpus both modes return the identical pair set and therefore the
     identical clustering."""
     if candidates == "lsh":
-        # ONE persisted exploded-shingle relation feeds both the MinHash
-        # aggregate and the verify sets (round 6): the text split/explode
-        # is the widest scan in the composition and runs once this way
-        sh = track_cached(
-            word_shingles(df, id_col, text_col, distinct=False).persist(),
+        # deterministic-only persisted intermediates (round 6): the
+        # MinHash signature aggregate (min() slots) for candidate
+        # generation, and an expression-built per-doc set relation for
+        # the verify — no collect_set anywhere, so both caches are
+        # actually REUSED by their join consumers (see doc_shingle_sets)
+        sigs = track_cached(
+            minhash_signatures(
+                word_shingles(df, id_col, text_col, distinct=False),
+                id_col=id_col).persist(),
             storage)
-        cands = lsh_candidate_pairs(minhash_signatures(sh, id_col=id_col),
-                                    id_col=id_col, storage=storage)
+        cands = lsh_candidate_pairs(sigs, id_col=id_col, storage=storage)
+        sets = track_cached(
+            doc_shingle_sets(df, id_col, text_col).persist(), storage)
         pairs = jaccard_verify_pairs(df, cands, id_col, text_col,
                                      threshold=threshold, storage=storage,
-                                     shingles=sh)
+                                     doc_sets=sets)
     elif candidates == "all-pairs":
         pairs = ngram_jaccard_pairs(df, id_col, text_col,
                                     threshold=threshold, max_df=max_df,
@@ -625,6 +684,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .agg(F.collect_list("_sid").alias("_set"), *bm_aggs)
         .withColumn("_coll", (F.size("_set") - popc).cast("bigint"))
     )
+    if persist:
+        # arr feeds THREE broadcast consumers (bmr + both verify sides);
+        # without its own persist each broadcast job re-runs the
+        # collect_list/bit_or aggregate over the full shingle relation —
+        # measured as three concurrent ~1.5 s jobs at sf1 (round 6)
+        arr = track_cached(arr.persist(), storage)
     bm_cols = [f"_bm{k}" for k in range(nwords)] + ["_coll"]
     bmr = arr.select(F.col(id_col), *bm_cols)
 
@@ -666,9 +731,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     ab = arr.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_setb"))
     inter = F.size(F.array_intersect("_seta", "_setb")).cast("bigint")
     # candidates share >= 1 shingle by construction, so the denominator is
-    # always positive (no ANSI /0)
+    # always positive (no ANSI /0).  Broadcast the CANDIDATE side (small
+    # by construction after the prefix/size/positional/bitmap filters) and
+    # stream the cached array relation — broadcasting aa/ab shipped the
+    # wide shingle-id arrays instead (round 6; same shape as the verify
+    # join in jaccard_verify_pairs).
+    j1 = aa.join(F.broadcast(cands), "id_a")
     return (
-        cands.join(F.broadcast(aa), "id_a").join(F.broadcast(ab), "id_b")
+        ab.join(F.broadcast(j1), "id_b")
         .withColumn("inter", inter)
         .withColumn(
             "jaccard_e4",

@@ -486,9 +486,12 @@ def test_ngram_jaccard_storage_handle(spark):
     handles: list = []
     out = dedup.ngram_jaccard_pairs(df, threshold=0.5, storage=handles)
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}
-    assert len(handles) == 1 and handles[0].is_cached
-    handles[0].unpersist(blocking=True)
-    assert not handles[0].is_cached
+    # round 6: ngram_jaccard_pairs persists TWO intermediates (the ranked
+    # shingle relation and the per-doc array/bitmap aggregate)
+    assert len(handles) == 2 and all(h.is_cached for h in handles)
+    for h in handles:
+        h.unpersist(blocking=True)
+    assert not any(h.is_cached for h in handles)
 
 
 def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
