@@ -486,10 +486,12 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
+    # container-level cast, NOT transform(x -> cast(x)): higher-order
+    # lambdas are interpreted per element (round-2 gotcha) and this cast
+    # runs under every ANN consumer; float->double widening is exact
+    # either way (round 6)
     return e.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
-    )
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

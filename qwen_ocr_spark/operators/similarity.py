@@ -175,13 +175,89 @@ def banded_buckets(emb: DataFrame, id_col: str = "vec_id",
     both sides of a candidate join, or many queries against one corpus —
     exactly how a production ANN index is built (signatures land in a table,
     not recomputed per query).  Pass a list as ``storage`` to receive the
-    persisted handle for explicit ``unpersist()`` in long-lived sessions."""
-    base = emb.select(F.col(id_col), *_element_cols(vec_col, dims))
-    keys = _band_keys_from_elements(bands, rows, dims)
-    out = base.select(
-        F.col(id_col), F.explode(F.array(*keys)).alias("band_key")
-    )
+    persisted handle for explicit ``unpersist()`` in long-lived sessions.
+
+    Round 6: the band keys are computed in ONE ``mapInArrow`` pass with a
+    vectorized-but-sequential numpy fold instead of the round-3 unrolled
+    SQL expression tree.  The expression tree (32 planes x 64 D-suffixed
+    literal terms, ~20k nodes) executed fine but cost the DRIVER ~0.3 s of
+    re-canonicalization on EVERY action of every consumer — even with the
+    relation persisted and fully materialized (644 KB), because the tree
+    lives on inside the InMemoryRelation's plan (the round-3 driver-tree
+    gotcha, now measured at its floor).  A ``localCheckpoint`` would also
+    truncate it but fails codegen (Janino) on the 2048-term Generate and
+    falls back to interpreted evaluation.  The Arrow path gives a 3-node
+    plan, and the fold ``acc = acc + E[:,d] * w[d]`` (one vectorized
+    term at a time, left to right) performs the IDENTICAL float64
+    operation sequence per row as the SQL ``(0.0 + e0*w0) + e1*w1 ...``
+    — bit-exact scores/keys, verified by the unchanged DuckDB oracles
+    (which embed the same literal planes)."""
+    planes = [_plane(p, dims) for p in range(bands * rows)]
+    id_field = emb.schema[id_col]
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        W = np.array(planes, dtype=np.float64)        # (P, dims)
+        for batch in batches:
+            n = batch.num_rows
+            ids = batch.column(0)
+            vec = batch.column(1)
+            # (n, dims) matrix with the exact semantics of
+            # coalesce(get(v, d), 0.0): missing tail elements, null
+            # elements and null vectors all become 0.0
+            E = np.zeros((n, dims), dtype=np.float64)
+            flat = vec.flatten()
+            vals = flat.to_numpy(zero_copy_only=False)
+            if flat.null_count:
+                vals = np.where(np.asarray(flat.is_null()), 0.0, vals)
+            offs = vec.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            if vec.null_count:
+                valid = np.asarray(vec.is_valid())
+                offs = offs.copy()
+                # null rows contribute no elements
+                lens = np.where(valid[: n], offs[1:] - offs[:-1], 0)
+            else:
+                lens = offs[1:] - offs[:-1]
+            lens = np.minimum(lens, dims)
+            row_idx = np.repeat(np.arange(n), lens)
+            col_idx = np.concatenate([np.arange(l) for l in lens]) \
+                if n else np.zeros(0, dtype=np.int64)
+            src_idx = np.repeat(offs[:-1], lens) + col_idx
+            E[row_idx, col_idx] = vals[src_idx]
+            # left-to-right fold, one term at a time: bit-identical to the
+            # SQL (0.0 + e0*w0) + e1*w1 + ... sequence per row
+            bits = np.empty((bands * rows, n), dtype=bool)
+            for p in range(bands * rows):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dims):
+                    acc = acc + E[:, d] * W[p, d]
+                bits[p] = acc >= 0.0
+            out_ids, out_keys = [], []
+            for b in range(bands):
+                chars = np.where(bits[b * rows:(b + 1) * rows], "1", "0")
+                s = np.full(n, f"{b}|", dtype=object)
+                for r in range(rows):
+                    s = s + chars[r]
+                out_ids.append(ids)
+                out_keys.append(pa.array(s, type=pa.string()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.concat_arrays([a.combine_chunks() if hasattr(a, "combine_chunks") else a for a in out_ids]),
+                 pa.concat_arrays(out_keys)],
+                names=[id_col, "band_key"])
+
+    from pyspark.sql.types import StringType, StructField, StructType
+    out_schema = StructType([id_field, StructField("band_key", StringType())])
+    out = emb.select(F.col(id_col), F.col(vec_col)).mapInArrow(gen, out_schema)
     if persist:
+        # persist, with a known wart: Python map nodes are flagged
+        # non-deterministic, so a JOIN consumer re-runs the (now cheap)
+        # Arrow pass instead of reading the cache — an isolated self-join
+        # measured 1.09 s persisted vs 0.71 s lazily checkpointed at sf1.
+        # A/B on the FULL queries went the other way (embedding_near_dups
+        # 1.22 s persisted vs 1.74 s checkpointed: the checkpoint's
+        # LogicalRDD loses size statistics and downstream join planning
+        # degrades), so persist wins end-to-end.
         out = track_cached(out.persist(), storage)
     return out
 
@@ -256,6 +332,14 @@ def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         .select("query_id", F.col(id_col).alias("neighbor_id"))
         .distinct()  # union over bands — int pairs only, no payload
     )
+    # extraction happens BEFORE the joins on purpose (round-6 finding):
+    # extracting _q{d}/_n{d} after the candidate join looks cheaper (per
+    # candidate instead of per corpus row), but F.get projections are
+    # "cheap" to CollapseProject, which inlines all 128 of them into the
+    # cosine expression — and the optimizer then hangs re-canonicalizing
+    # the resulting several-thousand-node tree through the window/sort
+    # stage (reproduced: count() never returned at sf0.001).  Join-output
+    # attributes are a hard boundary the optimizer cannot inline through.
     nb = emb.select(
         F.col(id_col).alias("neighbor_id"),
         *[F.coalesce(F.get(F.col(vec_col), d), F.lit(0.0)).alias(f"_n{d}")
