@@ -29,8 +29,11 @@ from qwen_ocr_spark.operators import (
     textstats,
     timeseries,
 )
-from qwen_ocr_spark.operators.extract import extract_pages, figures_table
-from qwen_ocr_spark.sources.pages import pages_from_documents
+from qwen_ocr_spark.operators.extract import (
+    extract_documents,
+    extract_pages,
+    figures_table,
+)
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -54,9 +57,10 @@ def q_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-checkable because the bridge document's extracted text is
     provably 'Doc {id}\\n{text}' on both payload routes."""
     docs = _t(spark, sf_dir, "documents")
-    # the bridge already spreads generation across the cluster; re-shuffling
-    # freshly generated payloads would be a pure cost (repartition=False)
-    out = extract_pages(pages_from_documents(docs), repartition=False)
+    # fused bridge (round 6): generation + extraction in ONE Python pass —
+    # the payload bytes never cross the JVM↔Python boundary (guide §4);
+    # row-identical to extract_pages(pages_from_documents(docs))
+    out = extract_documents(docs)
     return out.select(
         "url", "doc_kind", "digest",
         F.col("n_headers").cast("int").alias("n_headers"),
@@ -67,7 +71,7 @@ def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown output contract over the bridge corpus: the markdown is
     '# Doc {id}\\n\\n{text}' exactly."""
     docs = _t(spark, sf_dir, "documents")
-    out = extract_pages(pages_from_documents(docs), repartition=False)
+    out = extract_documents(docs)  # fused bridge, see q_extract_docs
     return out.select("url", F.md5(F.col("markdown").cast("binary")).alias("md_md5"))
 
 
@@ -77,9 +81,8 @@ def q_extract_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
     document carries one figure whose bbox/type/caption are closed-form
     arithmetic on doc_id, so this has an exact SQL oracle (was rows-only
     in round 1 — VERDICT task 3)."""
-    from qwen_ocr_spark.sources.pages import pages_from_documents_figured
     docs = _t(spark, sf_dir, "documents")
-    out = extract_pages(pages_from_documents_figured(docs), repartition=False)
+    out = extract_documents(docs, figured=True)  # fused bridge
     return figures_table(out).select(
         "url", "page_number", "fig_number",
         F.col("bbox").getItem(0).alias("x1"),
@@ -229,7 +232,10 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join ORDER matters (round 6): reduce orders by the selective customer
     # broadcast BEFORE the orders<->lineitem equi-join, so the orderkey
     # exchange moves ~1/5 of the orders rows instead of all of them (guide
-    # §2.3 "shuffle fewer bytes" / §3.1); same row multiset either way
+    # §2.3 "shuffle fewer bytes" / §3.1); same row multiset either way.
+    # (A/B'd at sf1: broadcasting the whole reduced co side into lineitem
+    # removes the SMJ but the serialized broadcast-build job costs more
+    # than the exchange it saves — 1.21 s vs 0.86 s — so SMJ stays.)
     j = o.join(c, o.o_custkey == c.c_custkey).join(li, o.o_orderkey == li.l_orderkey)
     return (
         j.groupBy("l_orderkey",
@@ -264,6 +270,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = s.join(n, s.s_nationkey == n.n_nationkey) \
           .join(r, n.n_regionkey == r.r_regionkey)
     lis = li.join(sn, li.l_suppkey == sn.s_suppkey)
+    # (A/B'd at sf1, round 6: broadcasting the reduced 228k-row co side
+    # into the lineitem stream removes both orderkey exchanges but the
+    # serialized broadcast-build job costs more than they do — 1.39 s vs
+    # 1.28 s — so the merge join stays.)
     co = c.join(o, c.c_custkey == o.o_custkey)
     j = co.join(
         lis,
@@ -707,7 +717,7 @@ def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction over pages derived from sf0.001 documents."""
     docs = spark.read.parquet(f"{SF_DEFAULT}/documents.parquet")
-    out = extract_pages(pages_from_documents(docs), repartition=False)
+    out = extract_documents(docs)  # fused bridge, see q_extract_docs
     return out.select(
         "url", "warc_ts", "doc_kind", "markdown", "extracted_text", "digest",
         "n_pages", "n_headers", "n_blocks_kept", "n_blocks_dropped",

@@ -3784,8 +3784,9 @@ def encode_tiff(img: np.ndarray, compression: int = 1,
 # ---------------------------------------------------------------------------
 
 def decode_au(data: bytes) -> tuple[np.ndarray, int]:
-    """Sun AU: big-endian header, PCM encodings 2/3/4/5 (8/16/24/32-bit
-    linear); mu-law (1) raises UnsupportedVariant."""
+    """Sun AU: big-endian header, G.711 mu-law (1) decoded to 16-bit
+    linear, PCM encodings 2/3/4/5 (8/16/24/32-bit linear); float/ADPCM
+    encodings raise UnsupportedVariant."""
     if data[:4] != b".snd":
         raise UnsupportedVariant("not an AU file")
     off, size, enc, rate, ch = struct.unpack(">IIIII", data[4:24])

@@ -466,7 +466,14 @@ def duplicate_groups(df: DataFrame, id_col: str = "doc_id",
     shingle document frequencies; the sf1 scale check measured the
     all-pairs join's quadratic df-densification regime).  On the bench
     corpus both modes return the identical pair set and therefore the
-    identical clustering."""
+    identical clustering.
+
+    Mode caveats (ADVICE r5): the lsh mode computes UNCAPPED exact
+    Jaccard (``max_df`` is ignored — LSH already bounds the join, so no
+    df cap is needed or applied) and its pair set is subject to MinHash
+    LSH candidate recall; the two modes coincide exactly when the cap
+    never binds and recall is 1 — true on the bench corpus, not a
+    general identity."""
     if candidates == "lsh":
         # deterministic-only persisted intermediates (round 6): the
         # MinHash signature aggregate (min() slots) for candidate
@@ -544,50 +551,98 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        storage: list | None = None) -> DataFrame:
     """SimHash neighbor search: (id_a < id_b, hamming) pairs within radius.
 
-    Pigeonhole bucketing: the 32-bit signature splits into ``radius + 1``
-    near-equal chunks covering every bit (``simhash_chunk_bounds``); any
-    pair within hamming distance <= radius agrees exactly on at least one
-    chunk, so candidates = equi-join on (chunk_idx, chunk bits) —
-    sub-quadratic like the MinHash band join — then the exact distance
-    check is one bit_count(xor) per candidate.  Bucket count per chunk is
-    2^chunk_width; scale radius/signature width together.
+    Round-6 shape (identical output, measured 70.9 s → seconds at sf1):
 
-    The stacked (id, sig, chunk_key) relation feeds BOTH self-join sides;
-    ``persist=True`` caches it (radius+1 small rows per document) so the
-    full-text simhash computation runs once, not twice — the same
-    one-relation-both-sides shape as lsh_candidate_pairs.  Pass a list as
-    ``storage`` to receive the persisted handle for ``unpersist()``."""
-    sig = simhash32(df, id_col, text_col)
-    sig = sig.select(
-        F.col(id_col), "simhash",
+    1. **Collapse to DISTINCT signatures first.**  Every doc sharing a
+       signature joins identically, so candidate generation runs over the
+       distinct-sig relation (30.6k rows vs 50k docs at sf1 — and the gap
+       widens with duplication).  Doc pairs are recovered afterwards by
+       two id-joins (inter-sig) plus a same-sig self-join (intra-sig,
+       hamming 0, bounded by sum of multiplicity²).
+    2. **1-bit-expansion block join** instead of the radius+1-chunk
+       pigeonhole equi-join.  The old scheme split 32 bits into radius+1
+       = 4 chunks of 8 bits — only 2^8 buckets per chunk, which on 50k
+       docs materialized **1.14e9 join rows** (measured; chunk 2 alone
+       711M — simhash buckets are skewed because signature bits are
+       correlated) for a ~2.2M-pair answer.  Splitting into
+       ``ceil((radius+1)/2)`` chunks instead, a pair within ``radius``
+       must have SOME chunk within distance **1** (pigeonhole:
+       c chunks, min chunk dist <= floor(radius/c) <= 1), so candidates =
+       equi-join of one side's {chunk, chunk with one bit flipped}
+       expansion (width+1 keys per chunk) against the other side's exact
+       chunk.  For radius 3 that is 2 chunks of 16 bits — 2^16 buckets,
+       17+1 keys per sig per chunk — measured 47M join rows, 24x fewer,
+       and the distinct runs on sig pairs (2.2M) not doc pairs.
+       Both directions of every qualifying pair are generated (the
+       expansion is symmetric), so ``sig_a < sig_b`` keeps exactly one.
+    3. Exact ``bit_count(xor) <= radius`` verify on the deduped sig
+       pairs restores equality with the old output.
+
+    Scale note: at 10^9+ near-uniform docs the distinct-sig relation
+    approaches N and 2^16 buckets saturate — there you widen the
+    signature (64/128-bit) and the same construction gives 2^32+ buckets;
+    the knob is signature width, not this plan shape.
+
+    ``persist=True`` caches the (id, sig_int) relation (feeds the two
+    recovery joins + the intra self-join) and the distinct-sig relation
+    (feeds both candidate sides).  Pass a list as ``storage`` to receive
+    the handles for ``unpersist()``."""
+    sig = simhash32(df, id_col, text_col).select(
+        F.col(id_col),
         F.conv(F.col("simhash"), 2, 10).cast("bigint").alias("sig_int"),
     )
-    chunk_keys = F.array(*[
-        F.concat(F.lit(f"{c}|"), F.substring("simhash", start, width))
-        for c, (start, width) in enumerate(simhash_chunk_bounds(radius))
-    ])
-    stacked = sig.select(
-        F.col(id_col), "sig_int", F.explode(chunk_keys).alias("chunk_key")
-    )
     if persist:
-        stacked = track_cached(stacked.persist(), storage)
-    l, r = stacked.alias("l"), stacked.alias("r")
-    pairs = (
-        l.join(r, on="chunk_key")
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sig_int").alias("sig_a"),
-            F.col("r.sig_int").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        sig = track_cached(sig.persist(), storage)
+    D = sig.select("sig_int").distinct()
+    if persist:
+        D = track_cached(D.persist(), storage)
+
+    # c = ceil((radius+1)/2) chunks covering all 32 bits; chunk i of the
+    # STRING bounds (1-based, MSB first) maps to shift = 32 - start+1 - width
+    n_chunks = (radius + 2) // 2
+    bounds = simhash_chunk_bounds(n_chunks - 1)
+    exact_keys, expand_keys = [], []
+    for i, (start, width) in enumerate(bounds):
+        shift = 32 - (start - 1) - width
+        base = F.shiftrightunsigned(F.col("sig_int"), shift) \
+            .bitwiseAND(F.lit((1 << width) - 1))
+        tag = F.lit(i * (1 << 20))  # disjoint key spaces per chunk
+        exact_keys.append(tag + base)
+        expand_keys.append(F.array(
+            tag + base,
+            *[tag + base.bitwiseXOR(F.lit(1 << j)) for j in range(width)],
+        ))
+    right = D.select("sig_int", F.explode(F.array(*exact_keys)).alias("k"))
+    left = D.select(
+        "sig_int",
+        F.explode(F.flatten(F.array(*expand_keys))).alias("k"),
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+    cand = (
+        left.alias("l").join(right.alias("r"), on="k")
+        .where(F.col("l.sig_int") < F.col("r.sig_int"))
+        .select(F.col("l.sig_int").alias("sig_a"),
+                F.col("r.sig_int").alias("sig_b"))
+        .distinct()
+        .withColumn("hamming", F.bit_count(
+            F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"))
         .where(F.col("hamming") <= radius)
     )
+    ia = sig.select(F.col(id_col).alias("_ida"), F.col("sig_int").alias("sig_a"))
+    ib = sig.select(F.col(id_col).alias("_idb"), F.col("sig_int").alias("sig_b"))
+    inter = (
+        cand.join(ia, on="sig_a").join(ib, on="sig_b")
+        .select(F.least("_ida", "_idb").alias("id_a"),
+                F.greatest("_ida", "_idb").alias("id_b"),
+                "hamming")
+    )
+    intra = (
+        sig.alias("a").join(sig.alias("b"), on="sig_int")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"))
+    )
+    return inter.unionAll(intra)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",

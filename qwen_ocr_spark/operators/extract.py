@@ -121,6 +121,78 @@ def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ])
 
 
+def extract_documents(docs_df: DataFrame, *, figured: bool = False,
+                      pdf_every: int = 7) -> DataFrame:
+    """documents → out in ONE Python pass: the bridge payload is
+    synthesized and extracted inside the same ``mapInPandas`` task, so the
+    payload bytes never cross the JVM↔Python boundary at all (round 6).
+
+    Row-identical to ``extract_pages(pages_from_documents(docs))`` — same
+    urls, timestamps, payload recipes and extraction records, same error
+    channel — but the old composition shipped every generated payload
+    Python→JVM (Arrow), projected it, and shipped it JVM→Python again for
+    extraction: two full serializations of the corpus bytes plus an extra
+    pandas materialization, for zero computational benefit (guide §4 —
+    eliminate boundary crossings; the noop-isolated generation pass alone
+    cost as much as the whole fused pipeline).  ``extract_pages`` remains
+    the production operator for pages that exist as REAL data; this is the
+    fused path for the synthesized documents bridge, where generation is
+    itself Python and fusing is free.
+
+    ``figured=True`` uses the figured-HTML bridge (one closed-form figure
+    per document, all-HTML) — the extract_figures recipe."""
+    import datetime as _dt
+
+    from qwen_ocr_spark.sources.pages import (
+        EPOCH,
+        _bridge_html,
+        _bridge_html_figured,
+        _bridge_pdf,
+    )
+
+    n = docs_df.sparkSession.sparkContext.defaultParallelism
+    df = docs_df.select("doc_id", "text").repartition(n)
+    out_columns = [
+        "url", "warc_ts", "doc_kind", "markdown", "extracted_text",
+        "digest", "n_pages", "n_headers", "n_blocks_kept",
+        "n_blocks_dropped", "image_tokens", "breadcrumb", "figures",
+        "error",
+    ]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cols: dict[str, list] = {c: [] for c in out_columns}
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                doc_id = int(doc_id)
+                if figured:
+                    payload = _bridge_html_figured(doc_id, text)
+                    url = f"https://docs.example.com/fig/{doc_id}"
+                elif doc_id % pdf_every == 0:
+                    payload = _bridge_pdf(doc_id, text)
+                    url = f"https://docs.example.com/{doc_id}.pdf"
+                else:
+                    payload = _bridge_html(doc_id, text)
+                    url = f"https://docs.example.com/{doc_id}"
+                try:
+                    rec = _extract_one(url, payload)
+                except Exception as e:  # error channel, never fail the task
+                    rec = {
+                        "doc_kind": "unknown", "markdown": None,
+                        "extracted_text": None, "digest": None, "n_pages": 0,
+                        "n_headers": 0, "n_blocks_kept": 0,
+                        "n_blocks_dropped": 0, "image_tokens": 0,
+                        "breadcrumb": None, "figures": [],
+                        "error": f"{type(e).__name__}: {e}",
+                    }
+                rec["url"] = url
+                rec["warc_ts"] = EPOCH + _dt.timedelta(seconds=doc_id)
+                for c in out_columns:
+                    cols[c].append(rec[c])
+            yield pd.DataFrame(cols, columns=out_columns)
+
+    return df.mapInPandas(gen, schema=OUT_SCHEMA)
+
+
 def extract_pages(pages_df: DataFrame, *, salt: int = 0,
                   partitions: int | None = None,
                   lang: str | None = None,

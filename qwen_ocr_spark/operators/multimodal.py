@@ -278,7 +278,13 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
                         frame = raw[f * w * h: (f + 1) * w * h]
                         out.append((int(mid), f, frame))
                 elif codec == "GIF":
-                    frames = codecs.decode_gif_frames(bytes(payload))
+                    # per-row guard (ADVICE r5): a corrupt/truncated GIF
+                    # skips the row instead of failing the whole job —
+                    # matching image_features/audio_features semantics
+                    try:
+                        frames = codecs.decode_gif_frames(bytes(payload))
+                    except Exception:
+                        continue
                     for f in range(0, len(frames), every):
                         out.append((int(mid), f,
                                     codecs.to_gray(frames[f]).tobytes()))

@@ -75,7 +75,16 @@ def track_cached(df, storage: list | None = None):
     """Record a persisted DataFrame for later release.
 
     Appends to the caller's ``storage`` list when given, else to the
-    module-level registry drained by release_cached()."""
+    module-level registry drained by release_cached().
+
+    The registry holds STRONG references on purpose (ADVICE r5
+    adjudication): a Spark SQL cache lives in the JVM CacheManager and is
+    NOT auto-unpersisted when the Python handle is garbage-collected, so a
+    weak reference would only lose the one handle that can still release
+    it.  The contract stands: a long-lived driver that runs library
+    operators without passing ``storage`` must call ``release_cached()``
+    between units of work (streaming micro-batches do; see
+    sinks/manifest.py)."""
     (_CACHED_HANDLES if storage is None else storage).append(df)
     return df
 
