@@ -236,13 +236,21 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (A/B'd at sf1: broadcasting the whole reduced co side into lineitem
     # removes the SMJ but the serialized broadcast-build job costs more
     # than the exchange it saves — 1.21 s vs 0.86 s — so SMJ stays.)
-    j = o.join(c, o.o_custkey == c.c_custkey).join(li, o.o_orderkey == li.l_orderkey)
+    # Round 6, §2.3 "narrower types": the per-row floor measure is a
+    # bigint, so computing it BEFORE the orderkey exchange replaces two
+    # shuffled doubles with one long on 3.19M rows; bigint sums reorder
+    # exactly, so the grouped result is bit-identical.
+    lin = li.select(
+        "l_orderkey",
+        _e(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("_rev"),
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey) \
+         .join(lin, o.o_orderkey == lin.l_orderkey)
     return (
         j.groupBy("l_orderkey",
                   F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
                   "o_orderpriority")
-         .agg(F.sum(_e(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-               .alias("revenue_e4"))
+         .agg(F.sum("_rev").alias("revenue_e4"))
          .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
          .limit(10)
     )
@@ -269,21 +277,25 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moves onto the orderkey join, where both sides are already reduced.
     sn = s.join(n, s.s_nationkey == n.n_nationkey) \
           .join(r, n.n_regionkey == r.r_regionkey)
-    lis = li.join(sn, li.l_suppkey == sn.s_suppkey)
-    # (A/B'd at sf1, round 6: broadcasting the reduced 228k-row co side
-    # into the lineitem stream removes both orderkey exchanges but the
-    # serialized broadcast-build job costs more than they do — 1.39 s vs
-    # 1.28 s — so the merge join stays.)
-    co = c.join(o, c.c_custkey == o.o_custkey)
+    # Round 6, §2.3: compute the bigint floor measure before the orderkey
+    # exchange (two doubles → one long on the 1.2M supplier-reduced rows;
+    # bigint sums reorder exactly) and project both SMJ inputs to the
+    # columns the join/agg need.  (A/B'd: broadcasting the reduced
+    # 228k-row co side instead of the merge join lost — the serialized
+    # broadcast-build job costs more than the exchanges it saves.)
+    lis = li.join(sn, li.l_suppkey == sn.s_suppkey).select(
+        "l_orderkey", "s_nationkey", "n_name",
+        _e(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("_rev"),
+    )
+    co = c.select("c_custkey", "c_nationkey") \
+          .join(o.select("o_orderkey", "o_custkey"),
+                F.col("c_custkey") == F.col("o_custkey"))
     j = co.join(
         lis,
         (co.o_orderkey == lis.l_orderkey)
         & (co.c_nationkey == lis.s_nationkey),
     )
-    return j.groupBy("n_name").agg(
-        F.sum(_e(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
-         .alias("revenue_e4")
-    )
+    return j.groupBy("n_name").agg(F.sum("_rev").alias("revenue_e4"))
 
 
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,10 +410,21 @@ def _docs2(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     parquet would otherwise serialize); pure hash-aggregate consumers pass
     spread=False — map-side partial agg needs no pre-shuffle."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mirror = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    both = docs.unionAll(mirror)
+    # ONE scan (round 6): the old unionAll(docs, docs.where(...)) read the
+    # parquet twice per action; an inline explode emits the mirror row
+    # next to its original from the same scan — identical row multiset
+    both = docs.select(
+        F.explode(
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.array(
+                    F.struct(F.col("doc_id"), F.col("text")),
+                    F.struct((F.col("doc_id") + 1000000).alias("doc_id"),
+                             F.col("text")),
+                ),
+            ).otherwise(F.array(F.struct(F.col("doc_id"), F.col("text"))))
+        ).alias("_r")
+    ).select("_r.doc_id", "_r.text")
     if spread:
         both = both.repartition(spark.sparkContext.defaultParallelism)
     return both

@@ -42,9 +42,19 @@ MINHASH_BANDS = 4  # 2 slots per band
 SHINGLE_N = 3
 MAX_SHINGLE_DF = 256  # default document-frequency cap for the jaccard join
 SIMHASH_RADIUS = 3    # default hamming radius; 4 chunks of 8 bits
-_BITMAP_WORDS = 16    # 16 x 64 = 1024-bit hashed doc bitmaps (jaccard
+_BITMAP_WORDS = 4     # 4 x 64 = 256-bit hashed doc bitmaps (jaccard
                       # pre-filter; exactness does not depend on the width,
-                      # only pruning power does)
+                      # only pruning power does).  Round-6 A/B at sf1: the
+                      # prefix self-join materializes ~20M rows carrying 2x
+                      # (_BITMAP_WORDS+1) bigints each, so width is the
+                      # dominant term of the join cost — 16→4 words cut the
+                      # candidate stage 1.42 s → 0.95 s with the IDENTICAL
+                      # candidate count (5,080; ~50-shingle docs stay sparse
+                      # in 256 bits).  Size to ~2-4x the typical distinct-
+                      # shingle count per doc: much larger documents (or a
+                      # higher max_df regime) deserve 16+ words again —
+                      # saturated bitmaps only cost pruning power, never
+                      # correctness.
 
 
 def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -104,36 +114,66 @@ def incremental_dedup(new_df: DataFrame, digest_path: str,
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   n: int = SHINGLE_N, distinct: bool = True) -> DataFrame:
-    """Word n-gram shingles per document (explode, no Python).
-
-    Sliding window over the whitespace token array via transform+slice on
-    indices — stays in codegen.
+    """Word n-gram shingles per document (one vectorized Python pass).
 
     ``distinct=True`` (the default) dedups (doc, shingle) — required by
-    set semantics (n-gram Jaccard).  The dedup is PER DOCUMENT, and a
-    document's shingles all live in one array before the explode, so it
-    runs as ``array_distinct`` on that array — zero shuffles (round 6;
-    previously a ``.distinct()`` after the explode, a full exchange of
-    every shingle string — the widest relation in the dedup family).
+    set semantics (n-gram Jaccard).  The dedup is PER DOCUMENT (first
+    occurrence kept, like ``array_distinct``), inside the same pass.
     Pass ``distinct=False`` for duplicate-insensitive consumers
-    (MinHash's per-slot ``min`` gives the same answer either way) to skip
-    even the per-row dedup work."""
-    shingles = _shingle_array(text_col, n)
-    if distinct:
-        shingles = F.array_distinct(shingles)
-    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    (MinHash's per-slot ``min`` gives the same answer either way).
+
+    Round 6: the array is built by a pandas_udf instead of the round-1
+    ``transform(sequence(...), i -> array_join(slice(toks, i+1, n)))``
+    expression — higher-order lambdas are interpreted PER ELEMENT
+    (the round-2 gotcha), and isolating the explode showed the shingle
+    construction alone cost 1.37 s of the 1.7 s minhash pipeline at sf1.
+    CPython's C-level ``str.split``/``' '.join`` do the same work in
+    ~0.1 s; the JVM boundary only carries (text in, shingle array out).
+    The Python tokenizer reproduces the SQL semantics exactly:
+    ``trim()`` strips 0x20 only, the split regex is ASCII ``\\s+``
+    (Java's default), trailing empty tokens survive (Spark split keeps
+    them at limit -1), and NULL text yields a NULL array."""
+    return df.select(
+        F.col(id_col),
+        F.explode(_shingle_array_udf(n, distinct)(F.col(text_col))).alias("shingle"),
+    )
+
+
+def _shingle_array_udf(n: int = SHINGLE_N, distinct: bool = False):
+    """Vectorized pandas_udf: text → word n-gram shingle array (order
+    preserved; ``distinct`` keeps first occurrences, like array_distinct).
+    Deterministic (default), so persisted downstream relations are
+    cache-reusable under joins — unlike mapInArrow/mapInPandas nodes."""
+    import pandas as pd
+
+    @F.pandas_udf("array<string>")
+    def shingle(texts):
+        import re
+        ws = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = ws.split(t.strip(" "))  # SQL trim: 0x20 only
+            if len(toks) < n:
+                out.append([])
+                continue
+            sh = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            if distinct:
+                sh = list(dict.fromkeys(sh))
+            out.append(sh)
+        return pd.Series(out)
+
+    return shingle
 
 
 def _shingle_array(text_col: str, n: int = SHINGLE_N):
     """Column expression: the document's word n-gram array (with
-    duplicates, in text order) — pure codegen'd expressions."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
+    duplicates, in text order) — the vectorized Python pass (see
+    ``_shingle_array_udf``; kept as the single shared implementation
+    seam for word_shingles and doc_shingle_sets)."""
+    return _shingle_array_udf(n, distinct=False)(F.col(text_col))
 
 
 def doc_shingle_sets(df: DataFrame, id_col: str = "doc_id",
@@ -153,7 +193,7 @@ def doc_shingle_sets(df: DataFrame, id_col: str = "doc_id",
     relation caches and reuses cleanly."""
     return df.select(
         F.col(id_col),
-        F.array_distinct(_shingle_array(text_col, n)).alias("_set"))
+        _shingle_array_udf(n, distinct=True)(F.col(text_col)).alias("_set"))
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",

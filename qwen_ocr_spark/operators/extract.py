@@ -151,7 +151,12 @@ def extract_documents(docs_df: DataFrame, *, figured: bool = False,
     )
 
     n = docs_df.sparkSession.sparkContext.defaultParallelism
-    df = docs_df.select("doc_id", "text").repartition(n)
+    df = docs_df.select("doc_id", "text")
+    # spread only when the scan under-parallelizes (the driver testdata is
+    # a single-partition parquet; a multi-file corpus already spreads) —
+    # guide §2.4: don't pay an exchange the layout already provides
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
     out_columns = [
         "url", "warc_ts", "doc_kind", "markdown", "extracted_text",
         "digest", "n_pages", "n_headers", "n_blocks_kept",

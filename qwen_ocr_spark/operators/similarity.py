@@ -177,87 +177,69 @@ def banded_buckets(emb: DataFrame, id_col: str = "vec_id",
     not recomputed per query).  Pass a list as ``storage`` to receive the
     persisted handle for explicit ``unpersist()`` in long-lived sessions.
 
-    Round 6: the band keys are computed in ONE ``mapInArrow`` pass with a
-    vectorized-but-sequential numpy fold instead of the round-3 unrolled
-    SQL expression tree.  The expression tree (32 planes x 64 D-suffixed
-    literal terms, ~20k nodes) executed fine but cost the DRIVER ~0.3 s of
-    re-canonicalization on EVERY action of every consumer — even with the
-    relation persisted and fully materialized (644 KB), because the tree
-    lives on inside the InMemoryRelation's plan (the round-3 driver-tree
-    gotcha, now measured at its floor).  A ``localCheckpoint`` would also
-    truncate it but fails codegen (Janino) on the 2048-term Generate and
-    falls back to interpreted evaluation.  The Arrow path gives a 3-node
-    plan, and the fold ``acc = acc + E[:,d] * w[d]`` (one vectorized
-    term at a time, left to right) performs the IDENTICAL float64
-    operation sequence per row as the SQL ``(0.0 + e0*w0) + e1*w1 ...``
-    — bit-exact scores/keys, verified by the unchanged DuckDB oracles
-    (which embed the same literal planes)."""
+    Round 6 (final form): the band keys are computed by ONE vectorized
+    **scalar pandas_udf** returning all ``bands`` packed int64 keys as an
+    array, exploded JVM-side.  Three accumulated findings led here:
+
+    * the round-3 unrolled SQL tree (32 planes x 64 literal terms, ~20k
+      nodes) cost the DRIVER ~0.3 s re-canonicalization per action even
+      fully cached (the tree lives on inside the InMemoryRelation plan);
+    * the first round-6 fix (``mapInArrow``) killed the tree but Python
+      MAP nodes are flagged non-deterministic, so a JOIN consumer
+      silently re-ran the Arrow pass instead of reading the persisted
+      cache — measured 0.44 s per action for a 2,111-row candidate join;
+    * a scalar pandas_udf is deterministic by default, so the persisted
+      (id, band_key) relation is ACTUALLY reused by both self-join sides.
+
+    The numpy fold adds one vectorized term at a time, left to right,
+    vectorized across planes: per (row, plane) element the float64
+    operation sequence is identical to the SQL
+    ``(0.0 + e0*w0) + e1*w1 ...``, so every sign bit matches the DuckDB
+    oracles (which embed the same literal planes).  Keys are packed
+    int64 (band index in the high bits, the band's sign bits below,
+    MSB-first) — bijective with the round-5 "b|0101…" string, so bucket
+    equality and every candidate pair set are identical while joins
+    compare 8 bytes instead of a 19-char string.  Null vectors and null
+    elements hash as 0.0 — the ``coalesce(get(v, d), 0.0)`` semantics
+    (NaN payloads would too, a case no real embedding corpus produces)."""
     planes = [_plane(p, dims) for p in range(bands * rows)]
-    id_field = emb.schema[id_col]
 
-    def gen(batches):
-        import numpy as np
-        import pyarrow as pa
-        W = np.array(planes, dtype=np.float64)        # (P, dims)
-        for batch in batches:
-            n = batch.num_rows
-            ids = batch.column(0)
-            vec = batch.column(1)
-            # (n, dims) matrix with the exact semantics of
-            # coalesce(get(v, d), 0.0): missing tail elements, null
-            # elements and null vectors all become 0.0
-            E = np.zeros((n, dims), dtype=np.float64)
-            flat = vec.flatten()
-            vals = flat.to_numpy(zero_copy_only=False)
-            if flat.null_count:
-                vals = np.where(np.asarray(flat.is_null()), 0.0, vals)
-            offs = vec.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            if vec.null_count:
-                valid = np.asarray(vec.is_valid())
-                offs = offs.copy()
-                # null rows contribute no elements
-                lens = np.where(valid[: n], offs[1:] - offs[:-1], 0)
-            else:
-                lens = offs[1:] - offs[:-1]
-            lens = np.minimum(lens, dims)
-            row_idx = np.repeat(np.arange(n), lens)
-            col_idx = np.concatenate([np.arange(l) for l in lens]) \
-                if n else np.zeros(0, dtype=np.int64)
-            src_idx = np.repeat(offs[:-1], lens) + col_idx
-            E[row_idx, col_idx] = vals[src_idx]
-            # left-to-right fold, one term at a time: bit-identical to the
-            # SQL (0.0 + e0*w0) + e1*w1 + ... sequence per row
-            bits = np.empty((bands * rows, n), dtype=bool)
-            for p in range(bands * rows):
-                acc = np.zeros(n, dtype=np.float64)
-                for d in range(dims):
-                    acc = acc + E[:, d] * W[p, d]
-                bits[p] = acc >= 0.0
-            out_ids, out_keys = [], []
-            for b in range(bands):
-                chars = np.where(bits[b * rows:(b + 1) * rows], "1", "0")
-                s = np.full(n, f"{b}|", dtype=object)
-                for r in range(rows):
-                    s = s + chars[r]
-                out_ids.append(ids)
-                out_keys.append(pa.array(s, type=pa.string()))
-            yield pa.RecordBatch.from_arrays(
-                [pa.concat_arrays([a.combine_chunks() if hasattr(a, "combine_chunks") else a for a in out_ids]),
-                 pa.concat_arrays(out_keys)],
-                names=[id_col, "band_key"])
+    import pandas as pd  # noqa: F401 (pandas_udf signature)
+    import numpy as np
 
-    from pyspark.sql.types import StringType, StructField, StructType
-    out_schema = StructType([id_field, StructField("band_key", StringType())])
-    out = emb.select(F.col(id_col), F.col(vec_col)).mapInArrow(gen, out_schema)
+    W_rows = planes  # captured literal list-of-lists (pickled once)
+    n_planes = bands * rows
+
+    @F.pandas_udf("array<long>")
+    def _band_keys(vs):
+        W = np.asarray(W_rows, dtype=np.float64)      # (P, dims)
+        n = len(vs)
+        E = np.zeros((n, dims), dtype=np.float64)
+        for i, v in enumerate(vs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)[:dims]
+            if a.size:
+                E[i, : a.size] = np.nan_to_num(a, nan=0.0)  # nulls -> 0.0
+        # left-to-right fold, one term at a time, vectorized ACROSS
+        # planes: bit-identical accumulation order per (row, plane)
+        acc = np.zeros((n, n_planes), dtype=np.float64)
+        for d in range(dims):
+            acc = acc + E[:, d:d + 1] * W[:, d][None, :]
+        bits = (acc >= 0.0).T                         # (P, n)
+        out = np.empty((n, bands), dtype=np.int64)
+        for b in range(bands):
+            val = np.zeros(n, dtype=np.int64)
+            for r in range(b * rows, (b + 1) * rows):
+                val = (val << 1) | bits[r].astype(np.int64)
+            out[:, b] = val | (b << rows)
+        return pd.Series(list(out))
+
+    out = emb.select(
+        F.col(id_col),
+        F.explode(_band_keys(F.col(vec_col))).alias("band_key"),
+    )
     if persist:
-        # persist, with a known wart: Python map nodes are flagged
-        # non-deterministic, so a JOIN consumer re-runs the (now cheap)
-        # Arrow pass instead of reading the cache — an isolated self-join
-        # measured 1.09 s persisted vs 0.71 s lazily checkpointed at sf1.
-        # A/B on the FULL queries went the other way (embedding_near_dups
-        # 1.22 s persisted vs 1.74 s checkpointed: the checkpoint's
-        # LogicalRDD loses size statistics and downstream join planning
-        # degrades), so persist wins end-to-end.
         out = track_cached(out.persist(), storage)
     return out
 
