@@ -371,11 +371,211 @@ def decode_html_bytes(payload: bytes) -> str:
     return payload.decode(enc, errors="replace")
 
 
-def parse_html(html: str) -> bk.PageBlocks:
-    """Parse one HTML document into a single page of blocks (page_number 1)."""
+# ---------------------------------------------------------------------------
+# fast one-shot tokenizer (round 6)
+#
+# Profiling the extraction pipeline showed ~65% of the HTML path inside
+# stdlib html.parser's incremental goahead() loop (updatepos line tracking,
+# per-chunk `interesting` scans, __starttag_text bookkeeping).  _fast_feed
+# drives the SAME handler methods over a whole document in one pass using
+# the stdlib module's own compiled token regexes, reproducing goahead's
+# dispatch semantics for convert_charrefs=True one-shot input:
+#
+# * data segments are unescape()d exactly like goahead's
+#   `handle_data(unescape(rawdata[i:j]))`;
+# * start tags follow parse_starttag byte-for-byte (locatestarttagend /
+#   tagfind / attrfind tolerant patterns, lowercased names, quote
+#   stripping, attr-value unescape, '/>' → handle_startendtag, junk-end
+#   tags re-emitted as data);
+# * end tags follow parse_endtag including the bogus-comment and '</>'
+#   arms;
+# * comments / doctype / PI / bogus declarations are skipped over with the
+#   stdlib's scan rules (their handlers are no-ops here);
+# * incomplete trailing constructs fall back to goahead's end=1 recovery
+#   (emit through the next '>' / '<' as unescaped data);
+# * <script>/<style> content is SKIPPED to the stdlib's CDATA end pattern
+#   (r'</\s*tag' + endtagfind verify).  stdlib would emit that content via
+#   handle_data — _Extractor discards it (_SKIP_TAGS) — so suppressing the
+#   event is behavior-identical FOR THIS EXTRACTOR; that is why this
+#   driver is private to parse_html rather than a general feed().
+#
+# Equivalence is pinned by tests/test_htmlx_fast.py: the fast path and the
+# stdlib path must produce identical block streams over the full synthetic
+# crawl corpus (every template family) and a battery of malformed-markup
+# edge cases.
+# ---------------------------------------------------------------------------
+
+from html import unescape as _unescape
+from html.parser import (  # stdlib's own compiled token patterns
+    attrfind_tolerant as _attrfind,
+    commentclose as _commentclose,
+    endtagfind as _endtagfind,
+    locatestarttagend_tolerant as _locatestart,
+    piclose as _piclose,
+    tagfind_tolerant as _tagfind,
+)
+
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
+}
+_ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _fast_feed(parser: HTMLParser, rawdata: str) -> None:
+    handle_data = parser.handle_data
+    handle_starttag = parser.handle_starttag
+    handle_endtag = parser.handle_endtag
+    handle_startendtag = parser.handle_startendtag
+    find = rawdata.find
+    n = len(rawdata)
+    i = 0
+
+    def bail(i: int) -> int:
+        # goahead's end=1 recovery for an unterminated construct
+        k = find(">", i + 1)
+        if k < 0:
+            k = find("<", i + 1)
+            if k < 0:
+                k = i + 1
+        else:
+            k += 1
+        handle_data(_unescape(rawdata[i:k]))
+        return k
+
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            j = n
+        if i < j:
+            handle_data(_unescape(rawdata[i:j]))
+        i = j
+        if i == n:
+            break
+        c = rawdata[i + 1:i + 2]
+        if c and c in _ASCII_LETTERS:
+            # --- parse_starttag ------------------------------------------
+            m = _locatestart.match(rawdata, i)
+            j2 = m.end()
+            nxt = rawdata[j2:j2 + 1]
+            if nxt == ">":
+                endpos = j2 + 1
+            elif nxt == "/":
+                if rawdata.startswith("/>", j2):
+                    endpos = j2 + 2
+                else:
+                    i = bail(i)  # stdlib: lone '/' = buffer boundary → -1
+                    continue
+            elif nxt == "" or nxt in _ASCII_LETTERS or nxt == "=":
+                i = bail(i)  # end of input in/before attribute value
+                continue
+            else:
+                endpos = j2 if j2 > i else i + 1
+            tm = _tagfind.match(rawdata, i + 1)
+            k = tm.end()
+            tag = tm.group(1).lower()
+            attrs = []
+            while k < endpos:
+                am = _attrfind.match(rawdata, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif attrvalue[:1] == "'" == attrvalue[-1:] or \
+                        attrvalue[:1] == '"' == attrvalue[-1:]:
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end = rawdata[k:endpos].strip()
+            if end not in (">", "/>"):
+                handle_data(rawdata[i:endpos])
+                i = endpos
+                continue
+            if end.endswith("/>"):
+                handle_startendtag(tag, attrs)
+                i = endpos
+                continue
+            handle_starttag(tag, attrs)
+            i = endpos
+            if tag in _CDATA_CLOSE:
+                # --- CDATA content: skip to the real closing tag ---------
+                cd = _CDATA_CLOSE[tag]
+                pos = i
+                while True:
+                    m3 = cd.search(rawdata, pos)
+                    if not m3:
+                        i = n  # unterminated: stdlib delivers nothing more
+                        break
+                    m4 = _endtagfind.match(rawdata, m3.start())
+                    if m4 and m4.group(1).lower() == tag:
+                        handle_endtag(tag)
+                        i = m4.end()
+                        break
+                    pos = m3.start() + 2
+        elif c == "/":
+            # --- parse_endtag --------------------------------------------
+            gt = find(">", i + 1)
+            if gt < 0:
+                i = bail(i)
+                continue
+            m = _endtagfind.match(rawdata, i)
+            if m:
+                handle_endtag(m.group(1).lower())
+                i = m.end()
+                continue
+            nm = _tagfind.match(rawdata, i + 2)
+            if not nm:
+                if rawdata.startswith("</>", i):
+                    i += 3
+                    continue
+                pos = find(">", i + 2)  # bogus comment
+                if pos < 0:
+                    i = bail(i)
+                else:
+                    i = pos + 1
+                continue
+            handle_endtag(nm.group(1).lower())
+            pos = find(">", nm.end())
+            i = n if pos < 0 else pos + 1
+        elif rawdata.startswith("<!--", i):
+            m = _commentclose.search(rawdata, i + 4)
+            i = m.end() if m else bail(i)
+        elif c == "?":
+            m = _piclose.search(rawdata, i + 2)
+            i = m.end() if m else bail(i)
+        elif c == "!":
+            if rawdata.startswith("<![", i):
+                # marked section — rare; borrow the stdlib machinery
+                parser.rawdata = rawdata
+                k = parser.parse_marked_section(i)
+                parser.rawdata = ""
+                i = k if k >= 0 else bail(i)
+            elif rawdata[i:i + 9].lower() == "<!doctype":
+                pos = find(">", i + 9)
+                i = pos + 1 if pos >= 0 else bail(i)
+            else:
+                pos = find(">", i + 2)  # bogus comment
+                i = pos + 1 if pos >= 0 else bail(i)
+        else:
+            handle_data("<")
+            i += 1
+
+
+def parse_html(html: str, fast: bool = True) -> bk.PageBlocks:
+    """Parse one HTML document into a single page of blocks (page_number 1).
+
+    ``fast=False`` routes through the stdlib incremental feed() — kept for
+    the equivalence test and as an escape hatch."""
     p = _Extractor()
-    p.feed(html)
-    p.close()
+    if fast:
+        _fast_feed(p, html)
+        p._flush()
+    else:
+        p.feed(html)
+        p.close()
     return bk.PageBlocks(page_number=1, blocks=p.blocks)
 
 
