@@ -284,7 +284,15 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns the join/agg need.  (A/B'd: broadcasting the reduced
     # 228k-row co side instead of the merge join lost — the serialized
     # broadcast-build job costs more than the exchanges it saves.)
-    lis = li.join(sn, li.l_suppkey == sn.s_suppkey).select(
+    # The broadcast must be EXPLICIT: sn is a join result, and Catalyst's
+    # size estimate for it (product of the input estimates) lands above the
+    # auto-broadcast threshold — the round-start plan shows a SortMergeJoin
+    # here, i.e. the full 6M-row lineitem exchanged by l_suppkey and the
+    # supplier side exchanged too, before the orderkey exchange (4 exchanges
+    # on the heavy path).  sn's build job is bare dim scans + two broadcast
+    # joins (no exchange), the shape the round-6 gotcha says broadcasts
+    # cheaply; forcing it removes both l_suppkey-side exchanges.
+    lis = li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey).select(
         "l_orderkey", "s_nationkey", "n_name",
         _e(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("_rev"),
     )
