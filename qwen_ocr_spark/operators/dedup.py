@@ -690,7 +690,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.8,
                         max_df: int | None = MAX_SHINGLE_DF,
                         persist: bool = True,
-                        storage: list | None = None) -> DataFrame:
+                        storage: list | None = None,
+                        _index_prefix: bool = True) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above threshold.
 
     Round-6 shape: prefix filtering (AllPairs/PPJoin, Bayardo et al. 2007;
@@ -793,7 +794,27 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         F.col("_rn") <= F.col("_sz")
         - F.expr(f"(_sz * {t_e4} + 9999) div 10000") + 1
     ).join(F.broadcast(bmr), on=id_col)
-    l, r = pfx.alias("l"), pfx.alias("r")
+    # Index-prefix asymmetry (Xiao et al. 2008): orient every pair so the
+    # LARGER-size element (ties: larger id) is the probe side l and the
+    # smaller one the indexed side r.  For the indexed element y, any
+    # partner x has sx >= sy, so the pair's required overlap
+    # alpha = ceil(t/(1+t)*(sx+sy)) >= ceil(2t/(1+t)*sy); the FIRST common
+    # shingle of the pair (in the global (_df,_sid) canonical order) sits
+    # at position <= sz - alpha + 1 in BOTH docs, hence within y's first
+    # sy - ceil(2t/(1+t)*sy) + 1 rows — a ~45% shorter prefix at t=0.8
+    # than the probe bound sx - ceil(t*sx) + 1 (which itself only needs
+    # the size filter sy >= t*sx, implied by J >= t).  The join therefore
+    # compares probe-prefix x index-prefix rows instead of full-prefix
+    # squared — strictly fewer joined rows, still a lossless superset.
+    if _index_prefix:
+        idx = pfx.where(
+            F.col("_rn") <= F.col("_sz")
+            - F.expr(f"(_sz * {2 * t_e4} + {10000 + t_e4 - 1}) "
+                     f"div {10000 + t_e4}") + 1
+        )
+    else:  # symmetric full-prefix self-join (round-start shape, for A/B)
+        idx = pfx
+    l, r = pfx.alias("l"), idx.alias("r")
     la, ra = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
     lsz, rsz = F.col("l._sz"), F.col("r._sz")
     # overlap upper bound at this matching position (PPJoin positional
@@ -810,16 +831,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         for k in range(nwords)
     )
     bm_bound = hash_inter + F.least(F.col("l._coll"), F.col("r._coll"))
+    if _index_prefix:
+        # (sz, id) is a strict total order, so each unordered pair is
+        # emitted by exactly one orientation; ids/sizes are normalized
+        # back to id_a < id_b below.
+        orient = (lsz > rsz) | ((lsz == rsz) & (la > ra))
+        sel = [F.least(la, ra).alias("id_a"),
+               F.greatest(la, ra).alias("id_b"),
+               F.when(la < ra, lsz).otherwise(rsz).alias("_sa"),
+               F.when(la < ra, rsz).otherwise(lsz).alias("_sb")]
+    else:
+        orient = la < ra
+        sel = [la.alias("id_a"), ra.alias("id_b"),
+               lsz.alias("_sa"), rsz.alias("_sb")]
     cands = (
         l.join(r, on="_sid")
         .where(
-            (la < ra)
+            orient
             & (10000 * F.least(lsz, rsz) >= t_e4 * F.greatest(lsz, rsz))
             & ((10000 + t_e4) * ubound >= t_e4 * (lsz + rsz))
             & ((10000 + t_e4) * bm_bound >= t_e4 * (lsz + rsz))
         )
-        .select(la.alias("id_a"), ra.alias("id_b"),
-                lsz.alias("_sa"), rsz.alias("_sb"))
+        .select(*sel)
         .distinct()
     )
     aa = arr.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_seta"))

@@ -511,6 +511,32 @@ def test_ngram_jaccard_df_cap_drops_stop_shingles(spark):
     assert (1, 2) in out2
 
 
+def test_ngram_jaccard_index_prefix_equivalence(spark):
+    """The asymmetric index-prefix join (round 6) must return the exact
+    pair set of the symmetric full-prefix join on a corpus with varied
+    sizes (exercising both orientations, the size-tie id tie-break, and
+    threshold values whose ceil arithmetic differs between the probe and
+    index bounds)."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    words = base.split()
+    rows = []
+    for i in range(1, 13):
+        # staggered sizes 8..19 words with heavy pairwise overlap
+        rows.append((i, " ".join(words[: 8 + (i % 12)])))
+    rows += [(20, base), (21, base), (22, base + " phi chi psi")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for t in (0.5, 0.7, 0.8, 0.9):
+        new = {(r["id_a"], r["id_b"], r["jaccard_e4"]) for r in
+               dedup.ngram_jaccard_pairs(df, threshold=t, persist=False,
+                                         _index_prefix=True).collect()}
+        old = {(r["id_a"], r["id_b"], r["jaccard_e4"]) for r in
+               dedup.ngram_jaccard_pairs(df, threshold=t, persist=False,
+                                         _index_prefix=False).collect()}
+        assert new == old, f"pair set diverged at t={t}"
+    assert (20, 21) in {(a, b) for a, b, _ in new}
+
+
 def test_ivf_topk_finds_near_dups(emb):
     """IVF probing: near-identical vectors share a nearest-centroid cell,
     so the scale path must find them; scores are exact cosine."""
