@@ -59,8 +59,12 @@ def q_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # fused bridge (round 6): generation + extraction in ONE Python pass —
     # the payload bytes never cross the JVM↔Python boundary (guide §4);
-    # row-identical to extract_pages(pages_from_documents(docs))
-    out = extract_documents(docs)
+    # row-identical to extract_pages(pages_from_documents(docs)).
+    # columns= narrows the UDF OUTPUT to what this query projects: a map
+    # node is opaque, so without it every row ships its full markdown +
+    # extracted_text + figures through Arrow just to be dropped here.
+    out = extract_documents(
+        docs, columns=["url", "doc_kind", "digest", "n_headers"])
     return out.select(
         "url", "doc_kind", "digest",
         F.col("n_headers").cast("int").alias("n_headers"),
@@ -71,7 +75,8 @@ def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown output contract over the bridge corpus: the markdown is
     '# Doc {id}\\n\\n{text}' exactly."""
     docs = _t(spark, sf_dir, "documents")
-    out = extract_documents(docs)  # fused bridge, see q_extract_docs
+    # fused bridge + output narrowed to (url, markdown), see q_extract_docs
+    out = extract_documents(docs, columns=["url", "markdown"])
     return out.select("url", F.md5(F.col("markdown").cast("binary")).alias("md_md5"))
 
 
@@ -82,7 +87,8 @@ def q_extract_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on doc_id, so this has an exact SQL oracle (was rows-only
     in round 1 — VERDICT task 3)."""
     docs = _t(spark, sf_dir, "documents")
-    out = extract_documents(docs, figured=True)  # fused bridge
+    # fused bridge + output narrowed to (url, figures), see q_extract_docs
+    out = extract_documents(docs, figured=True, columns=["url", "figures"])
     return figures_table(out).select(
         "url", "page_number", "fig_number",
         F.col("bbox").getItem(0).alias("x1"),

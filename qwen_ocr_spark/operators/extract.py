@@ -41,15 +41,18 @@ from qwen_ocr_spark.functions import htmlx, pdfx
 from qwen_ocr_spark.functions.figures import image_tokens
 from qwen_ocr_spark.functions.markdown import build_context
 
-OUT_SCHEMA = (
-    "url string, warc_ts timestamp, doc_kind string, markdown string, "
-    "extracted_text string, digest string, n_pages int, n_headers int, "
-    "n_blocks_kept int, n_blocks_dropped int, image_tokens bigint, "
-    "breadcrumb string, figures array<struct<page_number int, fig_number int, "
-    "bbox array<int>, caption string, element_type string, img_format string, "
-    "png binary>>, "
-    "error string"
-)
+_OUT_FIELDS = [
+    ("url", "string"), ("warc_ts", "timestamp"), ("doc_kind", "string"),
+    ("markdown", "string"), ("extracted_text", "string"),
+    ("digest", "string"), ("n_pages", "int"), ("n_headers", "int"),
+    ("n_blocks_kept", "int"), ("n_blocks_dropped", "int"),
+    ("image_tokens", "bigint"), ("breadcrumb", "string"),
+    ("figures", "array<struct<page_number int, fig_number int, "
+     "bbox array<int>, caption string, element_type string, "
+     "img_format string, png binary>>"),
+    ("error", "string"),
+]
+OUT_SCHEMA = ", ".join(f"{c} {t}" for c, t in _OUT_FIELDS)
 
 FIGURES_COLUMNS = ["url", "page_number", "fig_number", "bbox", "caption",
                    "element_type", "img_format", "png"]
@@ -122,7 +125,8 @@ def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_documents(docs_df: DataFrame, *, figured: bool = False,
-                      pdf_every: int = 7) -> DataFrame:
+                      pdf_every: int = 7,
+                      columns: list[str] | None = None) -> DataFrame:
     """documents → out in ONE Python pass: the bridge payload is
     synthesized and extracted inside the same ``mapInPandas`` task, so the
     payload bytes never cross the JVM↔Python boundary at all (round 6).
@@ -140,7 +144,17 @@ def extract_documents(docs_df: DataFrame, *, figured: bool = False,
     itself Python and fusing is free.
 
     ``figured=True`` uses the figured-HTML bridge (one closed-form figure
-    per document, all-HTML) — the extract_figures recipe."""
+    per document, all-HTML) — the extract_figures recipe.
+
+    ``columns`` narrows the UDF's OUTPUT to the named ``OUT_SCHEMA``
+    fields (any order; emitted in schema order).  A map node is opaque to
+    Catalyst, so a downstream ``.select()`` cannot prune what the Python
+    side serializes — every row would ship its full markdown, extracted
+    text and figures through Arrow just to be dropped by the projection
+    (guide §4.1, applied to the output side of the boundary).  The same
+    parse still runs per document; only the emitted columns change, so a
+    consumer selecting exactly ``columns`` gets rows identical to the
+    full-schema path."""
     import datetime as _dt
 
     from qwen_ocr_spark.sources.pages import (
@@ -157,12 +171,17 @@ def extract_documents(docs_df: DataFrame, *, figured: bool = False,
     # guide §2.4: don't pay an exchange the layout already provides
     if df.rdd.getNumPartitions() < n:
         df = df.repartition(n)
-    out_columns = [
-        "url", "warc_ts", "doc_kind", "markdown", "extracted_text",
-        "digest", "n_pages", "n_headers", "n_blocks_kept",
-        "n_blocks_dropped", "image_tokens", "breadcrumb", "figures",
-        "error",
-    ]
+    all_fields = [c for c, _ in _OUT_FIELDS]
+    if columns is None:
+        out_columns = all_fields
+        schema = OUT_SCHEMA
+    else:
+        unknown = set(columns) - set(all_fields)
+        if unknown:
+            raise ValueError(f"unknown output columns: {sorted(unknown)}")
+        keep = set(columns)
+        out_columns = [c for c in all_fields if c in keep]
+        schema = ", ".join(f"{c} {t}" for c, t in _OUT_FIELDS if c in keep)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -195,7 +214,7 @@ def extract_documents(docs_df: DataFrame, *, figured: bool = False,
                     cols[c].append(rec[c])
             yield pd.DataFrame(cols, columns=out_columns)
 
-    return df.mapInPandas(gen, schema=OUT_SCHEMA)
+    return df.mapInPandas(gen, schema=schema)
 
 
 def extract_pages(pages_df: DataFrame, *, salt: int = 0,

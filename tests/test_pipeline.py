@@ -321,6 +321,28 @@ def test_reconcile_manifest_backfills_crash_window(spark, pages, tmp_path):
     assert reconcile_manifest(spark, str(tmp_path / "missing"), man_path) == 0
 
 
+def test_extract_documents_narrowed_columns_identical(spark):
+    """columns= must change only which fields cross the Arrow boundary:
+    the emitted rows equal the full-schema output projected to the same
+    columns (both payload routes: html and every-7th pdf)."""
+    from qwen_ocr_spark.operators.extract import extract_documents
+
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(i, f"body text number {i} with words") for i in range(1, 16)],
+        columns=["doc_id", "text"]))
+    cols = ["url", "doc_kind", "digest", "n_headers"]
+    full = {tuple(r) for r in
+            extract_documents(docs).select(*cols).collect()}
+    narrow = {tuple(r) for r in
+              extract_documents(docs, columns=cols).collect()}
+    assert narrow == full and len(narrow) == 15
+    # order requested != schema order: emitted in schema order regardless
+    reordered = extract_documents(docs, columns=["digest", "url"])
+    assert reordered.columns == ["url", "digest"]
+    with pytest.raises(ValueError):
+        extract_documents(docs, columns=["url", "nope"])
+
+
 def test_gen_page_pure_function():
     a = gen_page(42, 7)
     b = gen_page(42, 7)
