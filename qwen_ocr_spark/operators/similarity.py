@@ -63,6 +63,71 @@ def cosine(a, b):
     return F.when(den == 0.0, F.lit(None)).otherwise(_dot(a, b) / den)
 
 
+def _cosine_e6_udf(dims: int = 64):
+    """Vectorized pandas_udf: (vec_a, vec_b) → floor(cosine * 1e6) bigint,
+    NULL when either norm is zero.
+
+    Bit-identical to ``_unrolled_cosine_e6`` / the DuckDB oracles' literal
+    folds: the numpy accumulation adds one ``a_d * b_d`` term at a time,
+    left to right, starting from 0.0 — the same IEEE float64 operation
+    sequence per row — and NULL/absent elements contribute exact ``+ 0.0``
+    terms (``coalesce(get(v, d), 0.0)`` semantics; NaN payloads would too,
+    a case no real embedding corpus produces).  sqrt and division are
+    IEEE-correctly-rounded in both engines, so the floored score matches
+    bit-for-bit.
+
+    WHY a Python UDF replaced whole-stage-codegen'd SQL (round 6, late):
+    the unrolled form needs 2 x 64 pre-extracted element columns plus a
+    ~200-term expression — and the frozen bench protocol re-plans the
+    query on every timed ``count()`` (a fresh Aggregate plan per action),
+    where Catalyst analysis/optimization of that tree costs ~0.4 s of
+    DRIVER time at ANY data size (measured: ann_cosine_topk steady-state
+    count() 0.56 s at sf0.001 vs 0.04 s executing the same physical plan
+    without replanning).  The array-in/score-out UDF keeps the logical
+    plan a handful of nodes; execution cost is equal-or-better (numpy
+    column folds).  Deterministic by default, so persisted consumers stay
+    cache-reusable under joins (the banded_buckets finding)."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def score(va, vb):
+        import numpy as np
+
+        n = len(va)
+        A = np.zeros((n, dims), dtype=np.float64)
+        B = np.zeros((n, dims), dtype=np.float64)
+        for M, col in ((A, va), (B, vb)):
+            for i, v in enumerate(col):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)[:dims]
+                if a.size:
+                    M[i, : a.size] = np.nan_to_num(a, nan=0.0)
+        dot = np.zeros(n, dtype=np.float64)
+        na2 = np.zeros(n, dtype=np.float64)
+        nb2 = np.zeros(n, dtype=np.float64)
+        for d in range(dims):  # left-to-right fold, vectorized across rows
+            dot = dot + A[:, d] * B[:, d]
+            na2 = na2 + A[:, d] * A[:, d]
+            nb2 = nb2 + B[:, d] * B[:, d]
+        den = np.sqrt(na2) * np.sqrt(nb2)
+        ok = den != 0.0
+        out = np.zeros(n, dtype=np.float64)
+        out[ok] = np.floor((dot[ok] / den[ok]) * 1e6)
+        res = pd.array(out.astype(np.int64), dtype="Int64")
+        res[~ok] = pd.NA
+        return pd.Series(res)
+
+    # asNondeterministic: the ``score_e6 IS NOT NULL`` consumer filter
+    # otherwise gets pushed below the projection with the UDF COPIED under
+    # it — two ArrowEvalPython nodes, every row scored twice (guide §4.4;
+    # verified in this plan).  The scored relation is never persisted or
+    # joined downstream (it feeds a window directly in every consumer), so
+    # the cache-reuse concern that keeps banded_buckets deterministic does
+    # not apply; revisit if a consumer ever caches the scored relation.
+    return score.asNondeterministic()
+
+
 def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 dims: int = 64) -> DataFrame:
@@ -72,28 +137,23 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     is floor(cosine * 1e6) so value-hash comparison against the SQL oracle
     is exact.
 
-    Round 6: scoring runs through the unrolled codegen'd product-sum over
-    pre-extracted element columns (``_unrolled_cosine_e6``) instead of the
-    interpreted ``zip_with``/``aggregate`` fold — same left-to-right float
-    sequence bit-for-bit (the round-2 HOF gotcha: interpreted lambdas cost
-    ~5x; measured 3.7 s -> sub-second on the 20k x 5 crossJoin at sf1.0).
-    Trailing ``coalesce(get(v, d), 0.0)`` pads shorter vectors with exact
-    ``+ 0.0`` terms, which cannot change any IEEE sum."""
+    Round 6 (final form): scores come from the vectorized
+    ``_cosine_e6_udf`` (bit-identical fold; see its docstring for why the
+    codegen'd unrolled expression lost — per-action DRIVER replanning of
+    the 128-extracted-column tree dominated the recorded time).  The
+    broadcast crossJoin carries the two embedding ARRAYS instead of 128
+    scalar columns."""
     q = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        *[F.coalesce(F.get(F.col(vec_col), d), F.lit(0.0)).alias(f"_q{d}")
-          for d in range(dims)])
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     nb = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        *[F.coalesce(F.get(F.col(vec_col), d), F.lit(0.0)).alias(f"_n{d}")
-          for d in range(dims)])
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
     joined = (
         F.broadcast(q)  # queries are a handful of rows — broadcast always
         .crossJoin(nb)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            _unrolled_cosine_e6("_q", "_n", dims).alias("score_e6"),
+            _cosine_e6_udf(dims)(F.col("_qv"), F.col("_nv")).alias("score_e6"),
         )
         .where(F.col("score_e6").isNotNull())
     )
@@ -314,27 +374,22 @@ def lsh_bucketed_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         .select("query_id", F.col(id_col).alias("neighbor_id"))
         .distinct()  # union over bands — int pairs only, no payload
     )
-    # extraction happens BEFORE the joins on purpose (round-6 finding):
-    # extracting _q{d}/_n{d} after the candidate join looks cheaper (per
-    # candidate instead of per corpus row), but F.get projections are
-    # "cheap" to CollapseProject, which inlines all 128 of them into the
-    # cosine expression — and the optimizer then hangs re-canonicalizing
-    # the resulting several-thousand-node tree through the window/sort
-    # stage (reproduced: count() never returned at sf0.001).  Join-output
-    # attributes are a hard boundary the optimizer cannot inline through.
+    # re-rank via the vectorized array-in/score-out UDF (round 6, final):
+    # the earlier unrolled-codegen form pre-extracted 2 x 64 element
+    # columns before the joins (extracting AFTER the join triggered a
+    # CollapseProject re-canonicalization hang on the inlined tree), and
+    # that 128-column, ~200-term logical plan cost ~0.4 s of per-action
+    # DRIVER replanning under the frozen bench's count() protocol — see
+    # _cosine_e6_udf.  The joins now carry the embedding arrays.
     nb = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        *[F.coalesce(F.get(F.col(vec_col), d), F.lit(0.0)).alias(f"_n{d}")
-          for d in range(dims)])
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
     qb = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        *[F.coalesce(F.get(F.col(vec_col), d), F.lit(0.0)).alias(f"_q{d}")
-          for d in range(dims)])
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     scored = (
         pairs.join(nb, on="neighbor_id")      # pairs are small: AQE broadcasts
         .join(F.broadcast(qb), on="query_id")
         .select("query_id", "neighbor_id",
-                _unrolled_cosine_e6("_q", "_n", dims).alias("score_e6"))
+                _cosine_e6_udf(dims)(F.col("_qv"), F.col("_nv")).alias("score_e6"))
         .where(F.col("score_e6").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"), F.asc("neighbor_id"))
