@@ -242,7 +242,18 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_key"),
     )
     if persist:
-        stacked = track_cached(stacked.persist(), storage)
+        # Round 6: persist the relation ALREADY hash-partitioned by the
+        # join key.  An InMemoryTableScan reports the cached plan's output
+        # partitioning, so both SMJ sides of the self-join read
+        # co-partitioned cache and the join plans ZERO exchanges (guide
+        # §2.4 — the in-session analog of a bucketed table; also two fewer
+        # AQE stage rounds per action).  The one repartition happens at
+        # cache build.  Trade-off, documented: a cached side has no
+        # exchange for AQE skew-splitting to rewrite — bounded band-bucket
+        # multiplicity is already this operator's own contract (banding
+        # math in similarity.py).
+        stacked = track_cached(
+            stacked.repartition("band_key").persist(), storage)
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (
@@ -756,6 +767,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         F.count("*").over(w_doc).alias("_sz"),
     )
     if persist:
+        # NOT co-partitioned by _sid on purpose (unlike the band-key
+        # caches): the window above leaves shr partitioned by doc_id, which
+        # the arr groupBy(id) below reuses exchange-free, and a round-6 A/B
+        # of repartition("_sid") before persist measured WORSE steady-state
+        # (0.68 → 0.81 s in the clean rep) — the prefix join's two
+        # exchanges are AQE-coalesced and cheaper than 32 fixed cache-side
+        # sorts here.
         shr = track_cached(shr.persist(), storage)
     # per-doc verify structures from ONE aggregate over shr:
     # * _set  — the shingle-id array (exact verify via array_intersect);

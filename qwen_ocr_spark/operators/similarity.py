@@ -300,7 +300,13 @@ def banded_buckets(emb: DataFrame, id_col: str = "vec_id",
         F.explode(_band_keys(F.col(vec_col))).alias("band_key"),
     )
     if persist:
-        out = track_cached(out.persist(), storage)
+        # cache hash-partitioned by the join key (guide §2.4): every
+        # consumer joins this relation on band_key (candidate self-join,
+        # query-probe join), so a co-partitioned cache lets those joins
+        # plan zero exchanges on this side; the one repartition runs at
+        # cache build.  Same pattern + skew note as
+        # dedup.lsh_candidate_pairs.
+        out = track_cached(out.repartition("band_key").persist(), storage)
     return out
 
 
